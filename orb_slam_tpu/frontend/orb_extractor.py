@@ -1,0 +1,164 @@
+"""ORB feature extraction: the TPU replacement for ORBextractor.
+
+Reference behavior reproduced (src/ORBextractor.cc:718-779):
+  image -> n-level pyramid (scale 1.2) -> per-level FAST with grid-cell
+  threshold fallback + quota -> intensity-centroid orientation -> 7x7
+  Gaussian blur -> rotated-BRIEF 256-bit descriptors -> coordinates
+  scaled back to level 0.
+
+TPU-first differences (deliberate, see SURVEY.md §7):
+  * all per-cell / per-keypoint CPU loops are dense whole-image vector ops
+    and batched gathers (ops/fast.py, ops/orb_descriptor.py);
+  * output is FIXED SHAPE: exactly `n_features` slots with a validity mask
+    (invalid slots padded), so every downstream consumer jits once;
+  * per-level quotas follow the reference's geometric series
+    (src/ORBextractor.cc:476-487) as static Python ints.
+
+The whole extractor is one jitted function per (H, W) — XLA fuses the
+pyramid, 16-plane FAST stencil, NMS, top-k and descriptor gathers.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam_tpu.ops.fast import detect_fast_keypoints
+from orb_slam_tpu.ops.image import build_pyramid, gaussian_blur, pyramid_shapes
+from orb_slam_tpu.ops.orb_descriptor import ic_angles, pack_u32, rbrief_descriptors
+
+
+@dataclass(frozen=True)
+class ORBConfig:
+    n_features: int = 1000
+    n_levels: int = 8
+    scale_factor: float = 1.2
+    fast_th_ini: float = 20.0
+    fast_th_min: float = 7.0
+    edge_threshold: int = 16
+    cell_size: int = 32
+
+    def level_quotas(self):
+        """Geometric per-level feature quotas (reference:
+        src/ORBextractor.cc:476-487)."""
+        f = 1.0 / self.scale_factor
+        n0 = self.n_features * (1.0 - f) / (1.0 - f ** self.n_levels)
+        quotas, total = [], 0
+        for lvl in range(self.n_levels - 1):
+            q = int(round(n0 * f ** lvl))
+            quotas.append(q)
+            total += q
+        quotas.append(max(self.n_features - total, 0))
+        return quotas
+
+    def scale_factors(self):
+        return [self.scale_factor ** l for l in range(self.n_levels)]
+
+    def sigma2(self):
+        return [s * s for s in self.scale_factors()]
+
+
+class ORBFeatures:
+    """Fixed-shape per-frame feature set (the device-side 'Frame' payload).
+
+    Fields (N = config.n_features):
+      xy        [N, 2] f32 — keypoint positions at level-0 scale (distorted,
+                 i.e. raw image coordinates)
+      response  [N]    f32
+      angle     [N]    f32 (radians)
+      octave    [N]    i32 — pyramid level
+      desc_u8   [N, 32] u8 — OpenCV-layout rBRIEF descriptors
+      desc_u32  [N, 8]  u32 — packed for XOR+popcount Hamming
+      valid     [N]    bool
+    """
+
+    def __init__(self, xy, response, angle, octave, desc_u8, desc_u32, valid):
+        self.xy = xy
+        self.response = response
+        self.angle = angle
+        self.octave = octave
+        self.desc_u8 = desc_u8
+        self.desc_u32 = desc_u32
+        self.valid = valid
+
+    def tree_flatten(self):
+        return (
+            (self.xy, self.response, self.angle, self.octave,
+             self.desc_u8, self.desc_u32, self.valid),
+            None,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    ORBFeatures,
+    lambda f: f.tree_flatten(),
+    ORBFeatures.tree_unflatten,
+)
+
+
+class ORBExtractor:
+    """Callable extractor. jit-compiles once per image shape."""
+
+    def __init__(self, config: ORBConfig = ORBConfig()):
+        self.config = config
+        self._jitted = {}
+
+    def __call__(self, img) -> ORBFeatures:
+        """img: [H, W] float32 grayscale in [0,255] (device array)."""
+        shape = tuple(img.shape)
+        if shape not in self._jitted:
+            self._jitted[shape] = jax.jit(
+                partial(_extract, config=self.config)
+            )
+        return self._jitted[shape](img)
+
+
+def _extract(img, *, config: ORBConfig) -> ORBFeatures:
+    quotas = config.level_quotas()
+    scales = config.scale_factors()
+    levels = build_pyramid(img, config.n_levels, config.scale_factor)
+
+    all_xy, all_resp, all_angle, all_oct, all_desc, all_valid = [], [], [], [], [], []
+    for lvl, (level_img, quota, scale) in enumerate(zip(levels, quotas, scales)):
+        if quota == 0:
+            continue
+        xy, resp, valid = detect_fast_keypoints(
+            level_img,
+            max_kp=quota,
+            th_ini=config.fast_th_ini,
+            th_min=config.fast_th_min,
+            cell_size=config.cell_size,
+            border=config.edge_threshold,
+        )
+        angle = ic_angles(level_img, xy)
+        # Round the blurred image to integers: this reproduces cv2's uint8
+        # rounding after GaussianBlur and makes descriptors BIT-EXACT vs
+        # OpenCV ORB for identical keypoints/angles (tests/test_orb_extractor).
+        blurred = jnp.round(gaussian_blur(level_img))
+        desc = rbrief_descriptors(blurred, xy, angle)
+        all_xy.append(xy.astype(jnp.float32) * scale)
+        all_resp.append(resp)
+        all_angle.append(angle)
+        all_oct.append(jnp.full((quota,), lvl, jnp.int32))
+        all_desc.append(desc)
+        all_valid.append(valid)
+
+    xy = jnp.concatenate(all_xy)
+    resp = jnp.concatenate(all_resp)
+    angle = jnp.concatenate(all_angle)
+    octave = jnp.concatenate(all_oct)
+    desc_u8 = jnp.concatenate(all_desc)
+    valid = jnp.concatenate(all_valid)
+    desc_u32 = pack_u32(desc_u8)
+    # zero out invalid slots so downstream masked ops see benign values
+    xy = jnp.where(valid[:, None], xy, -1.0)
+    return ORBFeatures(xy, resp, angle, octave, desc_u8, desc_u32, valid)
