@@ -1,0 +1,104 @@
+"""Pose-only optimization: Gauss-Newton on one SE3 with Huber + chi2 gating.
+
+Replaces Optimizer::PoseOptimization (reference: src/Optimizer.cc:154-285):
+4 rounds of (10, 10, 7, 5) LM iterations with per-round chi2 outlier gates
+(9.21, 7.378, 5.991, 5.991) that re-include/exclude edges between rounds.
+Here each round is a fixed-iteration damped Gauss-Newton inside one jitted
+program; edges are masked, never removed (static shapes). The linear system
+is a 6x6 dense solve — trivially small; the batched Jacobian/residual
+accumulation over all points is the TPU-shaped work."""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam_tpu.geometry.se3 import se3_exp
+
+HUBER_DELTA2 = 5.991
+ROUND_CHI2 = (9.21, 7.378, 5.991, 5.991)
+ROUND_ITERS = (10, 10, 7, 5)
+
+
+def _residuals_jac(T_cw, points, uv, K):
+    """Reprojection residuals and Jacobians w.r.t. a LEFT-multiplied se3
+    update: T <- exp(xi) T.
+
+    points: [N,3] world; uv: [N,2] observed; returns r [N,2], J [N,2,6],
+    z [N] camera depth."""
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    pc = points @ T_cw[:3, :3].T + T_cw[:3, 3]
+    x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = fx * x / zs + cx
+    v = fy * y / zs + cy
+    r = jnp.stack([u - uv[:, 0], v - uv[:, 1]], axis=-1)
+
+    iz = 1.0 / zs
+    iz2 = iz * iz
+    # d(u,v)/d(pc)
+    du = jnp.stack([fx * iz, jnp.zeros_like(iz), -fx * x * iz2], axis=-1)
+    dv = jnp.stack([jnp.zeros_like(iz), fy * iz, -fy * y * iz2], axis=-1)
+    duv_dpc = jnp.stack([du, dv], axis=-2)  # [N,2,3]
+    # d(pc)/d(xi) for xi=[rho,phi], left-mult: dpc = rho + phi x pc
+    # => J_pc = [I | -hat(pc)]
+    zmat = jnp.zeros_like(x)
+    hat = jnp.stack(
+        [
+            jnp.stack([zmat, -pc[:, 2], pc[:, 1]], axis=-1),
+            jnp.stack([pc[:, 2], zmat, -pc[:, 0]], axis=-1),
+            jnp.stack([-pc[:, 1], pc[:, 0], zmat], axis=-1),
+        ],
+        axis=-2,
+    )  # [N,3,3]
+    I3 = jnp.broadcast_to(jnp.eye(3), hat.shape)
+    dpc_dxi = jnp.concatenate([I3, -hat], axis=-1)  # [N,3,6]
+    J = duv_dpc @ dpc_dxi  # [N,2,6]
+    return r, J, z
+
+
+def _gn_rounds(T0, points, uv, inv_sigma2, valid, K, damping=1e-3):
+    T = T0
+    inlier = valid
+    for rnd in range(4):
+        chi2_th = ROUND_CHI2[rnd]
+
+        def iteration(_, T):
+            r, J, z = _residuals_jac(T, points, uv, K)
+            chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
+            # Huber IRLS weight on the sigma-normalized error
+            e = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+            delta = jnp.sqrt(HUBER_DELTA2)
+            w_huber = jnp.where(e <= delta, 1.0, delta / e)
+            w = inv_sigma2 * w_huber * inlier.astype(r.dtype) * (z > 0)
+            Jw = J * w[:, None, None]
+            H = jnp.einsum("nki,nkj->ij", Jw, J)
+            b = jnp.einsum("nki,nk->i", Jw, r)
+            H = H + damping * jnp.eye(6, dtype=H.dtype)
+            dx = jnp.linalg.solve(H, -b)
+            ok = jnp.all(jnp.isfinite(dx))
+            dx = jnp.where(ok, dx, 0.0)
+            return se3_exp(dx) @ T
+
+        T = jax.lax.fori_loop(0, ROUND_ITERS[rnd], iteration, T)
+        # re-gate for the next round on the updated pose (edges excluded in
+        # a previous round may re-enter — same as the reference's level-0/1
+        # flipping at src/Optimizer.cc:244-270)
+        r, _, z = _residuals_jac(T, points, uv, K)
+        chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
+        inlier = valid & (chi2 <= chi2_th) & (z > 0)
+    return T, inlier
+
+
+@partial(jax.jit, static_argnames=())
+def pose_optimize(T_cw0, points, uv, inv_sigma2, valid, K):
+    """Optimize one camera pose against fixed 3D points.
+
+    T_cw0: [4,4] initial world->camera. points: [N,3]. uv: [N,2] observed
+    (undistorted pixels). inv_sigma2: [N] per-observation information
+    (1/sigma^2 by octave). valid: [N] bool.
+    Returns (T_cw [4,4], inlier [N] bool, n_inliers i32)."""
+    T, inlier = _gn_rounds(T_cw0, points, uv, inv_sigma2, valid, K)
+    return T, inlier, jnp.sum(inlier)
