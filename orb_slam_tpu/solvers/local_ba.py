@@ -1,0 +1,243 @@
+"""Bundle adjustment: Schur-complement Gauss-Newton over the MapState.
+
+Replaces Optimizer::BundleAdjustment / GlobalBundleAdjustemnt [sic] and
+Optimizer::LocalBundleAdjustment (reference: src/Optimizer.cc:38-152,
+287-536), i.e. g2o's sparse LM with marginalized point vertices.
+
+TPU-first formulation: edges live in the capped per-point observation table
+([P, O] from slam_map.observations) so every quantity is a fixed-shape
+batched tensor:
+  * per-edge residuals/Jacobians: [P, O, 2, {6,3}] — one fused VPU pass;
+  * point blocks Hpp: [P, 3, 3] batched inverse;
+  * Schur cross terms: D[p,o] = C[p,o] @ chol(Hpp^-1); the reduced camera
+    system accumulates D D^T into [K+1, K+1, 6, 6] via scatter-add, looping
+    over the O (=16) second-observation index to bound peak memory;
+  * the reduced system is a dense 6K x 6K Cholesky solve — at the
+    reference's own locality bound (local BA sees <= ~80 cameras,
+    SURVEY.md §5) this is tiny for the MXU;
+  * back-substitution recovers point updates.
+
+Outlier policy mirrors the reference's two-phase schedule
+(Optimizer.cc:442-515): phase-1 iterations, chi2 re-gate (5.991), phase-2
+iterations, final gate returned to the caller so it can unbind bad
+observations from kf_obs."""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam_tpu.geometry.se3 import se3_exp
+from orb_slam_tpu.slam_map.map_state import MapState
+from orb_slam_tpu.slam_map.observations import observation_table, OBS_CAP
+
+CHI2_MONO = 5.991
+HUBER_DELTA = jnp.sqrt(CHI2_MONO)
+
+
+def _edge_terms(kf_pose, pt_pos, obs_kf, obs_feat, kf_xy, K_mat):
+    """Residuals + Jacobians for every (point, obs) edge.
+
+    Returns r [P,O,2], Jc [P,O,2,6] (camera, left-mult convention),
+    Jp [P,O,2,3] (point), z [P,O] depth."""
+    Kk, N = kf_xy.shape[0], kf_xy.shape[1]
+    kf_safe = jnp.clip(obs_kf, 0, Kk - 1)
+    feat_safe = jnp.clip(obs_feat, 0, N - 1)
+    T = kf_pose[kf_safe]              # [P,O,4,4]
+    uv = kf_xy[kf_safe, feat_safe]    # [P,O,2]
+    fx, fy, cx, cy = K_mat[0, 0], K_mat[1, 1], K_mat[0, 2], K_mat[1, 2]
+
+    pc = jnp.einsum("poij,pj->poi", T[..., :3, :3], pt_pos) + T[..., :3, 3]
+    x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = fx * x / zs + cx
+    v = fy * y / zs + cy
+    r = jnp.stack([u - uv[..., 0], v - uv[..., 1]], axis=-1)
+
+    iz = 1.0 / zs
+    iz2 = iz * iz
+    zero = jnp.zeros_like(iz)
+    du = jnp.stack([fx * iz, zero, -fx * x * iz2], axis=-1)
+    dv = jnp.stack([zero, fy * iz, -fy * y * iz2], axis=-1)
+    duv_dpc = jnp.stack([du, dv], axis=-2)  # [P,O,2,3]
+
+    hat = jnp.stack(
+        [
+            jnp.stack([zero, -z, y], axis=-1),
+            jnp.stack([z, zero, -x], axis=-1),
+            jnp.stack([-y, x, zero], axis=-1),
+        ],
+        axis=-2,
+    )  # [P,O,3,3]
+    I3 = jnp.broadcast_to(jnp.eye(3), hat.shape)
+    dpc_dxi = jnp.concatenate([I3, -hat], axis=-1)  # [P,O,3,6]
+    Jc = duv_dpc @ dpc_dxi                           # [P,O,2,6]
+    Jp = duv_dpc @ T[..., :3, :3]                    # [P,O,2,3]
+    return r, Jc, Jp, z
+
+
+def _solve_iteration(kf_pose, pt_pos, edge_w, obs_kf, obs_feat, kf_xy,
+                     K_mat, cam_opt, pt_opt, damping):
+    """One Gauss-Newton step. edge_w: [P,O] weights (0 = excluded edge,
+    else information * Huber). Returns (new kf_pose, new pt_pos)."""
+    P, O = edge_w.shape
+    Kk = kf_pose.shape[0]
+    r, Jc, Jp, z = _edge_terms(kf_pose, pt_pos, obs_kf, obs_feat, kf_xy, K_mat)
+    w = edge_w * (z > 0)
+    # zero camera Jacobians of fixed cameras (they still constrain points)
+    cam_is_opt = cam_opt[jnp.clip(obs_kf, 0, Kk - 1)]  # [P,O]
+    Jc = jnp.where(cam_is_opt[..., None, None], Jc, 0.0)
+
+    wJc = Jc * w[..., None, None]
+    wJp = Jp * w[..., None, None]
+
+    # point blocks
+    Hpp = jnp.einsum("pokx,poky->pxy", wJp, Jp)  # [P,3,3]
+    bp = jnp.einsum("pokx,pok->px", wJp, r)      # [P,3]
+    Hpp = Hpp + damping * jnp.broadcast_to(jnp.eye(3), Hpp.shape)
+    # fixed points: make their block identity so their update is 0 and they
+    # contribute no Schur term (their C entries are zeroed below)
+    Hpp = jnp.where(pt_opt[:, None, None], Hpp, jnp.broadcast_to(jnp.eye(3), Hpp.shape))
+    bp = jnp.where(pt_opt[:, None], bp, 0.0)
+    Hpp_inv = jnp.linalg.inv(Hpp)
+    L = jnp.linalg.cholesky(
+        0.5 * (Hpp_inv + jnp.swapaxes(Hpp_inv, -1, -2))
+        + 1e-12 * jnp.broadcast_to(jnp.eye(3), Hpp.shape)
+    )
+    L = jnp.where(jnp.isfinite(L), L, 0.0)
+
+    # camera blocks and rhs
+    kf_idx = jnp.where(w > 0, obs_kf, Kk)  # dump slot Kk for dead edges
+    Hcc = jnp.zeros((Kk + 1, 6, 6))
+    bc = jnp.zeros((Kk + 1, 6))
+    Hcc = Hcc.at[kf_idx].add(jnp.einsum("pokx,poky->poxy", wJc, Jc))
+    bc = bc.at[kf_idx].add(jnp.einsum("pokx,pok->pox", wJc, r))
+
+    # Schur: C[p,o] = Jc^T W Jp ; D = C @ L ; S -= D_o D_o'^T
+    C = jnp.einsum("pokx,poky->poxy", wJc, Jp)  # [P,O,6,3]
+    C = C * pt_opt[:, None, None, None]
+    D = jnp.einsum("poxy,pyz->poxz", C, L)      # [P,O,6,3]
+
+    S = jnp.zeros((Kk + 1, Kk + 1, 6, 6))
+    for o2 in range(O):
+        V = jnp.einsum("poxz,pyz->poxy", D, D[:, o2])  # [P,O,6,6]
+        cols = jnp.broadcast_to(kf_idx[:, o2 : o2 + 1], kf_idx.shape)
+        S = S.at[kf_idx, cols].add(-V)
+    # reduced rhs: bc_red = bc - sum_o C Hpp^-1 bp
+    Hib = jnp.einsum("pxy,py->px", Hpp_inv, bp)  # [P,3]
+    bred_contrib = jnp.einsum("poxy,py->pox", C, Hib)
+    bc = bc.at[kf_idx].add(-bred_contrib)
+
+    H = S.at[jnp.arange(Kk + 1), jnp.arange(Kk + 1)].add(Hcc)
+    H = H[:Kk, :Kk]
+    b = bc[:Kk]
+
+    # fixed / unused cameras: identity rows
+    diag_boost = jnp.where(cam_opt, damping, 0.0)
+    H = H.at[jnp.arange(Kk), jnp.arange(Kk)].add(
+        diag_boost[:, None, None] * jnp.eye(6)[None]
+    )
+    fixed = ~cam_opt
+    H = jnp.where(fixed[:, None, None, None], 0.0, H)
+    H = jnp.where(fixed[None, :, None, None], 0.0, H)
+    H = H.at[jnp.arange(Kk), jnp.arange(Kk)].add(
+        fixed[:, None, None] * jnp.eye(6)[None]
+    )
+    b = jnp.where(fixed[:, None], 0.0, b)
+
+    Hd = H.transpose(0, 2, 1, 3).reshape(Kk * 6, Kk * 6)
+    bd = b.reshape(Kk * 6)
+    dxc = jnp.linalg.solve(Hd, -bd).reshape(Kk, 6)
+    dxc = jnp.where(jnp.isfinite(dxc), dxc, 0.0)
+
+    # back-substitute points: dxp = Hpp^-1 (-bp - sum_o C^T dxc_kf)
+    dxc_pad = jnp.concatenate([dxc, jnp.zeros((1, 6))], axis=0)
+    Ct_dx = jnp.einsum("poxy,pox->py", C, dxc_pad[kf_idx])
+    dxp = jnp.einsum("pxy,py->px", Hpp_inv, -bp - Ct_dx)
+    dxp = jnp.where(jnp.isfinite(dxp), dxp, 0.0)
+    dxp = dxp * pt_opt[:, None]
+
+    new_pose = jnp.where(
+        cam_opt[:, None, None],
+        jax.vmap(se3_exp)(dxc) @ kf_pose,
+        kf_pose,
+    )
+    new_pts = pt_pos + dxp
+    return new_pose, new_pts
+
+
+def _edge_chi2(kf_pose, pt_pos, obs_kf, obs_feat, kf_xy, K_mat, inv_sigma2):
+    r, _, _, z = _edge_terms(kf_pose, pt_pos, obs_kf, obs_feat, kf_xy, K_mat)
+    chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
+    return chi2, z
+
+
+@partial(jax.jit, static_argnames=("iters1", "iters2"))
+def bundle_adjust(
+    state: MapState,
+    K_mat,
+    cam_opt,
+    pt_opt,
+    iters1: int = 5,
+    iters2: int = 10,
+    damping: float = 1e-3,
+):
+    """Run (local or global) BA over the MapState.
+
+    cam_opt: [K] bool — cameras to optimize (fixed-boundary cameras False
+    but still constrain points; invalid slots False).
+    pt_opt: [P] bool — points to optimize; edges to non-opt points ignored
+    (matches reference local-BA edge selection, Optimizer.cc:289-338).
+    Returns (new_state, edge_outlier [P, O] bool, obs table (kf, feat))."""
+    obs_kf, obs_feat, obs_valid = observation_table(state)
+    P, O = obs_kf.shape
+    Kk, N = state.kf_xy.shape[0], state.kf_xy.shape[1]
+    kf_safe = jnp.clip(obs_kf, 0, Kk - 1)
+    feat_safe = jnp.clip(obs_feat, 0, N - 1)
+    octv = state.kf_octave[kf_safe, feat_safe]
+    inv_sigma2 = 1.0 / (1.2 ** (2.0 * octv.astype(jnp.float32)))
+
+    edge_on = obs_valid & pt_opt[:, None]
+    kf_pose, pt_pos = state.kf_pose, state.pt_pos
+
+    def phase(carry, n_iters, gate_chi2):
+        kf_pose, pt_pos, edge_on = carry
+
+        def step(_, c):
+            kf_pose, pt_pos = c
+            chi2, z = _edge_chi2(kf_pose, pt_pos, obs_kf, obs_feat,
+                                 state.kf_xy, K_mat, inv_sigma2)
+            e = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+            w_huber = jnp.where(e <= HUBER_DELTA, 1.0, HUBER_DELTA / e)
+            w = inv_sigma2 * w_huber * edge_on * (z > 0)
+            return _solve_iteration(kf_pose, pt_pos, w, obs_kf, obs_feat,
+                                    state.kf_xy, K_mat, cam_opt, pt_opt,
+                                    damping)
+
+        kf_pose, pt_pos = jax.lax.fori_loop(0, n_iters, step, (kf_pose, pt_pos))
+        chi2, z = _edge_chi2(kf_pose, pt_pos, obs_kf, obs_feat, state.kf_xy,
+                             K_mat, inv_sigma2)
+        edge_on = edge_on & (chi2 <= gate_chi2) & (z > 0)
+        return (kf_pose, pt_pos, edge_on)
+
+    carry = (kf_pose, pt_pos, edge_on)
+    carry = phase(carry, iters1, CHI2_MONO)
+    carry = phase(carry, iters2, CHI2_MONO)
+    kf_pose, pt_pos, edge_in = carry
+
+    outlier = obs_valid & pt_opt[:, None] & ~edge_in
+    new_state = state._replace(kf_pose=kf_pose, pt_pos=pt_pos)
+    return new_state, outlier, (obs_kf, obs_feat)
+
+
+def apply_edge_outliers(state: MapState, outlier, obs_kf, obs_feat) -> MapState:
+    """Unbind observations flagged as BA outliers (reference erases the
+    observation both ways, Optimizer.cc:497-515)."""
+    Kk, N = state.kf_obs.shape
+    rows = jnp.where(outlier, obs_kf, Kk)  # dump row
+    cols = jnp.clip(obs_feat, 0, N - 1)
+    obs = jnp.concatenate([state.kf_obs, jnp.full((1, N), -1, jnp.int32)], 0)
+    obs = obs.at[rows, cols].set(jnp.where(outlier, -1, obs[rows, cols]))
+    return state._replace(kf_obs=obs[:Kk])
