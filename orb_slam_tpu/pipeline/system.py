@@ -1,0 +1,501 @@
+"""SLAMSystem: host orchestration of the full pipeline.
+
+Maps the reference's process architecture (SURVEY.md §3) onto thin Python
+around jitted kernels:
+  * Tracking state machine (src/Tracking.cc:206-298) — host branches between
+    jitted steps (extraction, initialization, fused track, relocalisation);
+  * LocalMapping (src/LocalMapping.cc) — per-keyframe pipeline of jitted
+    kernels (triangulate / fuse / BA / cull) with host policy decisions;
+  * deterministic sequential mode (default; the reference's poll-loop design
+    makes stages pure functions of (queue, map) — SURVEY.md §4) and an async
+    mode where mapping runs in a background thread.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam_tpu.geometry import CameraModel, undistort_points
+from orb_slam_tpu.frontend.orb_extractor import ORBConfig, ORBExtractor
+from orb_slam_tpu.ops.matching import match, window_gate, TH_LOW
+from orb_slam_tpu.ops.image import to_grayscale
+from orb_slam_tpu.slam_map import MapConfig, MapState, empty_map
+from orb_slam_tpu.slam_map.map_state import (
+    insert_keyframe, remove_points, remove_keyframe,
+)
+from orb_slam_tpu.slam_map.covisibility import covisibility_weights
+from orb_slam_tpu.slam_map.observations import refresh_point_stats
+from orb_slam_tpu.solvers import initialize_two_view
+from orb_slam_tpu.solvers.local_ba import bundle_adjust, apply_edge_outliers
+from orb_slam_tpu.pipeline.track_kernels import track_frame
+from orb_slam_tpu.pipeline.mapping_kernels import (
+    triangulate_new_points, insert_new_points, fuse_into_keyframe,
+    point_cull_stats, keyframe_redundancy,
+)
+
+# Tracking states (reference: include/Tracking.h:57-64)
+NO_IMAGES_YET = 0
+NOT_INITIALIZED = 1
+INITIALIZING = 2
+WORKING = 3
+LOST = 4
+
+STATE_NAMES = {0: "NO_IMAGES_YET", 1: "NOT_INITIALIZED", 2: "INITIALIZING",
+               3: "WORKING", 4: "LOST"}
+
+
+@dataclass
+class SlamConfig:
+    camera: CameraModel = None
+    orb: ORBConfig = field(default_factory=ORBConfig)
+    map: MapConfig = None
+    min_init_matches: int = 100       # reference: Tracking.cc:345
+    min_init_keypoints: int = 100     # reference: Tracking.cc:322
+    min_track_inliers: int = 30       # reference: Tracking.cc:613
+    min_frames_between_kf: int = 0    # reference mMinFrames (Tracking.cc:77)
+    max_frames_between_kf: int = 18   # reference mMaxFrames at 30fps
+    kf_tracked_ratio: float = 0.9     # c2 condition (Tracking.cc:650)
+    n_triangulation_neighbors: int = 6  # reference uses 20 (LocalMapping.cc:213)
+    n_fuse_neighbors: int = 6
+    local_ba_window: int = 16         # covisible KFs optimized in local BA
+    p_local: int = 4096               # tracking candidate pool
+    track_radius: float = 15.0
+    kf_cull_redundancy: float = 0.9   # reference: LocalMapping.cc:567
+    seed: int = 0
+
+    def __post_init__(self):
+        if self.camera is None:
+            self.camera = CameraModel.create(500.0, 500.0, 320.0, 240.0)
+        if self.map is None:
+            self.map = MapConfig(n_features=self.orb.n_features)
+
+
+class FrameData:
+    """Per-frame device payload: extracted features + undistorted coords."""
+
+    def __init__(self, xy_und, desc, octave, angle, valid, frame_id,
+                 timestamp=0.0):
+        self.xy = xy_und
+        self.desc = desc
+        self.octave = octave
+        self.angle = angle
+        self.valid = valid
+        self.frame_id = frame_id
+        self.timestamp = timestamp
+
+
+class SLAMSystem:
+    """The public API mirroring the reference's process (main.cc):
+    feed images (or oracle features) -> per-frame camera pose + map."""
+
+    def __init__(self, cfg: SlamConfig = None):
+        self.cfg = cfg or SlamConfig()
+        self.extractor = ORBExtractor(self.cfg.orb)
+        self.K = np.asarray(self.cfg.camera.K)
+        self.K_dev = jnp.asarray(self.K)
+        self.reset()
+
+    # ------------------------------------------------------------------ setup
+
+    def reset(self):
+        """Full system reset (reference: Tracking::Reset,
+        src/Tracking.cc:1026-1094)."""
+        cfg = self.cfg
+        self.state = NO_IMAGES_YET
+        self.map = empty_map(cfg.map)
+        self.free_kf = list(range(cfg.map.max_keyframes))
+        self.free_pt = list(range(cfg.map.max_points))
+        self.kf_order = np.full(cfg.map.max_keyframes, -1, np.int64)
+        self.kf_counter = 0
+        self.frame_id = 0
+        self.last_pose = np.eye(4, dtype=np.float32)
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.init_ref: Optional[FrameData] = None
+        self.last_kf_frame = -10**9
+        self.last_kf_slot = -1
+        self.ref_kf_tracked = 0
+        self.trajectory = []  # (frame_id, timestamp, T_cw numpy)
+        self.lost_count = 0
+        self._rng = jax.random.PRNGKey(cfg.seed)
+
+    # --------------------------------------------------------------- frontend
+
+    def make_frame(self, img=None, features=None, timestamp=None) -> FrameData:
+        """Build FrameData from an image (full ORB extraction) or from
+        oracle features (dict with xy/desc/octave/angle/valid)."""
+        ts = self.frame_id / 30.0 if timestamp is None else timestamp
+        if features is not None:
+            f = FrameData(
+                jnp.asarray(features["xy"]),
+                jnp.asarray(features["desc"]),
+                jnp.asarray(features["octave"]),
+                jnp.asarray(features["angle"]),
+                jnp.asarray(features["valid"]),
+                self.frame_id, ts,
+            )
+        else:
+            gray = to_grayscale(jnp.asarray(img))
+            feats = self.extractor(gray)
+            xy_und = undistort_points(self.cfg.camera, feats.xy)
+            f = FrameData(xy_und, feats.desc_u32, feats.octave, feats.angle,
+                          feats.valid, self.frame_id, ts)
+        return f
+
+    # ------------------------------------------------------------------ entry
+
+    def process(self, img=None, features=None, timestamp=None):
+        """Process one frame; returns the tracked pose (numpy [4,4]) or
+        None while not initialized / lost."""
+        frame = self.make_frame(img, features, timestamp)
+        self.frame_id += 1
+
+        if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
+            self._first_initialization(frame)
+            return None
+        if self.state == INITIALIZING:
+            ok = self._try_initialize(frame)
+            return self.last_pose.copy() if ok else None
+        if self.state in (WORKING, LOST):
+            return self._track(frame)
+        return None
+
+    # --------------------------------------------------------- initialization
+
+    def _first_initialization(self, frame: FrameData):
+        """Reference: Tracking::FirstInitialization (src/Tracking.cc:320-338)."""
+        if int(jnp.sum(frame.valid)) > self.cfg.min_init_keypoints:
+            self.init_ref = frame
+            self.state = INITIALIZING
+
+    def _try_initialize(self, frame: FrameData) -> bool:
+        """Reference: Tracking::Initialize + CreateInitialMap
+        (src/Tracking.cc:341-483)."""
+        cfg = self.cfg
+        ref = self.init_ref
+        if int(jnp.sum(frame.valid)) <= cfg.min_init_keypoints:
+            self.state = NOT_INITIALIZED
+            self.init_ref = None
+            return False
+
+        # SearchForInitialization: 100px window, mutual best, level-0 bias
+        # dropped (we match all levels), rotation check on
+        gate = window_gate(ref.xy, frame.xy, 100.0)
+        idx, dist, ok = match(
+            ref.desc, frame.desc, allowed=gate,
+            valid_a=ref.valid, valid_b=frame.valid,
+            angle_a=ref.angle, angle_b=frame.angle,
+            max_dist=TH_LOW, nn_ratio=0.9, mutual=True,
+            check_rotation=True, unique=True,
+        )
+        n_matches = int(jnp.sum(ok))
+        if n_matches < cfg.min_init_matches:
+            # keep latest frame as new reference (reference resets, we roll)
+            self.init_ref = frame
+            return False
+
+        self._rng, key = jax.random.split(self._rng)
+        res = initialize_two_view(
+            ref.xy, frame.xy[idx], ok, self.K_dev, key
+        )
+        if not bool(res.success):
+            return False
+
+        # ---- create initial map ----
+        tri = np.asarray(res.is_triangulated)
+        pts = np.asarray(res.points3d)
+        T1 = np.eye(4, dtype=np.float32)
+        T2 = np.eye(4, dtype=np.float32)
+        T2[:3, :3] = np.asarray(res.R21)
+        T2[:3, 3] = np.asarray(res.t21)
+
+        # median-depth scale normalization (Tracking.cc:439-463)
+        depths = pts[tri][:, 2]
+        if len(depths) < 30:
+            return False
+        med = float(np.median(depths))
+        if med <= 0:
+            return False
+        inv_med = 1.0 / med
+        pts = pts * inv_med
+        T2[:3, 3] *= inv_med
+
+        N = cfg.map.n_features
+        pt_slots = np.full(N, -1, np.int32)
+        tri_idx = np.where(tri)[0]
+        slots = [self.free_pt.pop(0) for _ in range(len(tri_idx))]
+        pt_slots[tri_idx] = slots
+
+        idx_np = np.asarray(idx)
+        obs1 = jnp.asarray(pt_slots)
+        obs2_np = np.full(N, -1, np.int32)
+        obs2_np[idx_np[tri_idx]] = pt_slots[tri_idx]
+        obs2 = jnp.asarray(obs2_np)
+
+        k1 = self._alloc_kf()
+        k2 = self._alloc_kf()
+        m = self.map
+        m = insert_keyframe(m, k1, jnp.asarray(T1), ref.frame_id, ref.xy,
+                            ref.octave, ref.angle, ref.desc, ref.valid,
+                            obs1, -1)
+        m = insert_keyframe(m, k2, jnp.asarray(T2), frame.frame_id, frame.xy,
+                            frame.octave, frame.angle, frame.desc, frame.valid,
+                            obs2, k1)
+        # add points
+        act = jnp.asarray(pt_slots[tri_idx])
+        from orb_slam_tpu.slam_map.map_state import add_points
+        m = add_points(
+            m, act, jnp.asarray(pts[tri_idx]),
+            ref.desc[jnp.asarray(tri_idx)],
+            jnp.full(len(tri_idx), k1, jnp.int32),
+            jnp.full(len(tri_idx), k1, jnp.int32),
+            jnp.ones(len(tri_idx), bool),
+        )
+        # global BA on the 2-view map (GlobalBundleAdjustemnt(map, 20))
+        cam_opt = jnp.zeros(cfg.map.max_keyframes, bool).at[k2].set(True)
+        pt_opt = m.pt_valid
+        m, outlier, (okf, ofeat) = bundle_adjust(
+            m, self.K_dev, cam_opt, pt_opt, iters1=10, iters2=10)
+        m = apply_edge_outliers(m, outlier, okf, ofeat)
+        m = refresh_point_stats(m)
+        self.map = m
+
+        self.last_pose = np.asarray(m.kf_pose[k2])
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.last_kf_frame = frame.frame_id
+        self.last_kf_slot = k2
+        self.ref_kf_tracked = len(tri_idx)
+        self.trajectory.append((ref.frame_id, ref.timestamp, T1.copy()))
+        self.trajectory.append(
+            (frame.frame_id, frame.timestamp, self.last_pose.copy()))
+        self.state = WORKING
+        return True
+
+    # ---------------------------------------------------------------- tracking
+
+    def _track(self, frame: FrameData):
+        """Fused motion-model + local-map tracking (SURVEY.md §3.2)."""
+        cfg = self.cfg
+        T_pred = (self.velocity @ self.last_pose).astype(np.float32)
+
+        res = track_frame(
+            self.map, frame.xy, frame.desc, frame.octave, frame.valid,
+            jnp.asarray(T_pred), self.K_dev,
+            p_local=cfg.p_local,
+            width=self.cfg.camera.width, height=self.cfg.camera.height,
+            radius=cfg.track_radius,
+        )
+        n_in = int(res.n_inliers)
+        if n_in < cfg.min_track_inliers:
+            # retry without motion model, wider window (TrackPreviousFrame
+            # fallback, Tracking.cc:486-552)
+            res = track_frame(
+                self.map, frame.xy, frame.desc, frame.octave, frame.valid,
+                jnp.asarray(self.last_pose), self.K_dev,
+                p_local=cfg.p_local,
+                width=self.cfg.camera.width, height=self.cfg.camera.height,
+                radius=cfg.track_radius * 2.0,
+            )
+            n_in = int(res.n_inliers)
+
+        if n_in < cfg.min_track_inliers:
+            self.state = LOST
+            self.lost_count += 1
+            self.velocity = np.eye(4, dtype=np.float32)
+            return None
+
+        self.state = WORKING
+        T_new = np.asarray(res.pose)
+        # visibility statistics
+        self.map = self.map._replace(
+            pt_visible=self.map.pt_visible + res.visible_inc,
+            pt_found=self.map.pt_found + res.found_inc,
+        )
+        # motion model: velocity = T_new @ inv(T_last)  (Tracking.cc:282-295)
+        self.velocity = (T_new @ np.linalg.inv(self.last_pose)).astype(np.float32)
+        self.last_pose = T_new
+        self.trajectory.append((frame.frame_id, frame.timestamp, T_new.copy()))
+
+        if self._need_new_keyframe(frame, n_in):
+            self._create_keyframe(frame, res.obs, n_in)
+        return T_new
+
+    def _need_new_keyframe(self, frame: FrameData, n_inliers: int) -> bool:
+        """Reference policy c1a/c1b/c2 (src/Tracking.cc:625-663)."""
+        cfg = self.cfg
+        if not self.free_pt or not self.free_kf:
+            return False
+        since = frame.frame_id - self.last_kf_frame
+        c1a = since >= cfg.max_frames_between_kf
+        c1b = since >= cfg.min_frames_between_kf  # mapper idle in seq mode
+        c2 = (
+            n_inliers < self.ref_kf_tracked * cfg.kf_tracked_ratio
+            and n_inliers > 15
+        )
+        return (c1a or c1b) and c2
+
+    # ----------------------------------------------------------- local mapping
+
+    def _alloc_kf(self) -> int:
+        slot = self.free_kf.pop(0)
+        self.kf_order[slot] = self.kf_counter
+        self.kf_counter += 1
+        return slot
+
+    def _create_keyframe(self, frame: FrameData, obs, n_inliers: int):
+        """KF insertion + the LocalMapping pipeline, run synchronously
+        (reference: Tracking::CreateNewKeyFrame + LocalMapping::Run body,
+        SURVEY.md §3.3)."""
+        cfg = self.cfg
+        slot = self._alloc_kf()
+        m = insert_keyframe(
+            self.map, slot, jnp.asarray(self.last_pose), frame.frame_id,
+            frame.xy, frame.octave, frame.angle, frame.desc, frame.valid,
+            obs, self.last_kf_slot,
+        )
+        self.map = m
+        self.last_kf_frame = frame.frame_id
+        self.last_kf_slot = slot
+        self.ref_kf_tracked = n_inliers
+        self._local_mapping(slot)
+
+    def _local_mapping(self, new_kf: int):
+        cfg = self.cfg
+        m = self.map
+
+        # --- covisibility + spanning parent (ProcessNewKeyFrame) ---
+        W = covisibility_weights(m)
+        W_np = np.asarray(W)
+        order = np.argsort(-W_np[new_kf])
+        neighbors = [int(k) for k in order if W_np[new_kf, k] >= 15
+                     and bool(m.kf_valid[k]) and k != new_kf]
+        if neighbors:
+            m = m._replace(
+                spanning_parent=m.spanning_parent.at[new_kf].set(neighbors[0]))
+
+        # --- MapPointCulling (LocalMapping.cc:175-203) ---
+        ratio, n_obs, _ = point_cull_stats(m, self.kf_counter)
+        ratio, n_obs = np.asarray(ratio), np.asarray(n_obs)
+        first = np.asarray(m.pt_first_kf)
+        first_order = np.where(first >= 0, self.kf_order[np.clip(first, 0, None)], -1)
+        age = self.kf_counter - first_order
+        valid = np.asarray(m.pt_valid)
+        kill = valid & (
+            (ratio < 0.25)
+            | ((age >= 2) & (age <= 3) & (n_obs <= 2))
+        )
+        if kill.any():
+            m = remove_points(m, jnp.asarray(kill))
+            self.free_pt.extend(int(i) for i in np.where(kill)[0])
+            self.free_pt = sorted(set(self.free_pt))
+
+        # --- CreateNewMapPoints with top covisible neighbors ---
+        tri_neighbors = neighbors[: cfg.n_triangulation_neighbors]
+        for nb in tri_neighbors:
+            if not self.free_pt:
+                break
+            cand = triangulate_new_points(m, new_kf, nb, self.K_dev)
+            n_free = min(len(self.free_pt), 512)
+            free = np.full(512, -1, np.int32)
+            free[:n_free] = self.free_pt[:n_free]
+            m, n_created = insert_new_points(
+                m, new_kf, nb, cand, jnp.asarray(free))
+            n_created = int(n_created)
+            if n_created:
+                self.free_pt = self.free_pt[n_created:]
+
+        # --- SearchInNeighbors: two-way fuse (LocalMapping.cc:373-450) ---
+        for nb in neighbors[: cfg.n_fuse_neighbors]:
+            m, _, _ = fuse_into_keyframe(
+                m, new_kf, nb, self.K_dev,
+                width=cfg.camera.width, height=cfg.camera.height)
+            m, _, _ = fuse_into_keyframe(
+                m, nb, new_kf, self.K_dev,
+                width=cfg.camera.width, height=cfg.camera.height)
+        self._reclaim_points(m)
+
+        m = refresh_point_stats(m)
+
+        # --- Local BA (Optimizer.cc:287-536) ---
+        local = [new_kf] + neighbors[: cfg.local_ba_window]
+        cam_opt_np = np.zeros(cfg.map.max_keyframes, bool)
+        cam_opt_np[local] = True
+        # gauge: keep the two oldest keyframes fixed
+        order_vals = self.kf_order.copy()
+        fixed_gauge = np.argsort(np.where(order_vals >= 0, order_vals, 10**9))[:2]
+        cam_opt_np[fixed_gauge] = False
+        cam_opt = jnp.asarray(cam_opt_np) & m.kf_valid
+        # points seen by local KFs
+        local_pts_mask = np.zeros(cfg.map.max_points, bool)
+        obs_np = np.asarray(m.kf_obs[np.asarray(local)])
+        bound = obs_np[obs_np >= 0]
+        local_pts_mask[bound] = True
+        pt_opt = jnp.asarray(local_pts_mask) & m.pt_valid
+        m, outlier, (okf, ofeat) = bundle_adjust(
+            m, self.K_dev, cam_opt, pt_opt)
+        m = apply_edge_outliers(m, outlier, okf, ofeat)
+
+        # --- KeyFrameCulling (LocalMapping.cc:524-578) ---
+        for nb in neighbors[:5]:
+            if self.kf_order[nb] < 2:
+                continue  # never cull the gauge keyframes
+            red, n_bound = keyframe_redundancy(m, nb)
+            if float(red) > cfg.kf_cull_redundancy and int(n_bound) > 20:
+                m = remove_keyframe(m, nb)
+                self._repair_spanning_tree(m, nb)
+                self.free_kf.append(nb)
+                self.kf_order[nb] = -1
+
+        self.map = refresh_point_stats(m)
+        self.last_pose = np.asarray(self.map.kf_pose[new_kf])
+
+    def _reclaim_points(self, m: MapState):
+        """Recompute the point free list from validity (slots freed by
+        culling/fuse-merge return to the pool — pt_valid is authoritative)."""
+        valid = np.asarray(m.pt_valid)
+        self.free_pt = [int(i) for i in np.where(~valid)[0]]
+
+    def _repair_spanning_tree(self, m: MapState, removed_kf: int):
+        """Children of a culled KF re-parent to its parent (simplified form
+        of the reference's candidate-parent loop, KeyFrame.cc:497-588)."""
+        parent = int(m.spanning_parent[removed_kf])
+        sp = np.asarray(m.spanning_parent)
+        children = np.where(sp == removed_kf)[0]
+        if len(children):
+            spn = m.spanning_parent
+            for c in children:
+                spn = spn.at[int(c)].set(parent)
+            self.map = m._replace(spanning_parent=spn)
+
+    # ------------------------------------------------------------------ output
+
+    def keyframe_trajectory(self):
+        """TUM-format keyframe trajectory rows (reference writes
+        KeyFrameTrajectory.txt at shutdown, src/main.cc:160-185)."""
+        from orb_slam_tpu.geometry import rot_to_quat, se3_inverse
+        rows = []
+        kf_valid = np.asarray(self.map.kf_valid)
+        order = np.argsort(self.kf_order)
+        for slot in order:
+            if self.kf_order[slot] < 0 or not kf_valid[slot]:
+                continue
+            T_cw = np.asarray(self.map.kf_pose[slot])
+            T_wc = np.asarray(se3_inverse(jnp.asarray(T_cw)))
+            q = np.asarray(rot_to_quat(jnp.asarray(T_wc[:3, :3])))
+            t = T_wc[:3, 3]
+            fid = int(np.asarray(self.map.kf_frame_id[slot]))
+            rows.append((fid, t, q))
+        return rows
+
+    @property
+    def n_keyframes(self):
+        return int(jnp.sum(self.map.kf_valid))
+
+    @property
+    def n_points(self):
+        return int(jnp.sum(self.map.pt_valid))

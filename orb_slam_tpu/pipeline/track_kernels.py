@@ -1,0 +1,161 @@
+"""Jitted per-frame tracking kernels.
+
+TPU-first redesign of the reference's per-frame hot path (SURVEY.md §3.2):
+the reference runs TrackWithMotionModel (match against the previous frame)
+THEN TrackLocalMap (match against covisibility-voted local points) because a
+CPU cannot afford to match against the whole local map at frame rate. On
+TPU we fuse both into ONE dense stage: project every candidate map point
+under the predicted pose, gate by frustum / scale band / viewing angle
+(Frame::isInFrustum, src/Frame.cc:137-198), select the best P_LOCAL
+candidates, run one dense masked Hamming match (SearchByProjection,
+src/ORBmatcher.cc:49-133), then pose-optimize with the reference's 4-round
+chi2 schedule."""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam_tpu.ops.matching import match, TH_HIGH
+from orb_slam_tpu.solvers.pose_opt import pose_optimize
+from orb_slam_tpu.slam_map.map_state import MapState
+
+
+class TrackResult(NamedTuple):
+    pose: jnp.ndarray          # [4,4] optimized T_cw
+    obs: jnp.ndarray           # [N] i32 point id per frame feature (-1 none)
+    n_inliers: jnp.ndarray     # i32
+    n_matches: jnp.ndarray     # i32 (pre-optimization matches)
+    visible_inc: jnp.ndarray   # [P] i32 (for MapPoint::IncreaseVisible)
+    found_inc: jnp.ndarray     # [P] i32 (IncreaseFound)
+
+
+def project_points(pt_pos, T_cw, K_mat):
+    pc = pt_pos @ T_cw[:3, :3].T + T_cw[:3, 3]
+    z = pc[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = K_mat[0, 0] * pc[:, 0] / zs + K_mat[0, 2]
+    v = K_mat[1, 1] * pc[:, 1] / zs + K_mat[1, 2]
+    return jnp.stack([u, v], axis=-1), z
+
+
+def frustum_gate(state: MapState, T_cw, K_mat, width, height,
+                 view_cos_limit=0.5):
+    """Frame::isInFrustum for every map point at once (src/Frame.cc:137-198).
+    Returns (visible [P], proj [P,2], pred_level [P], dist [P])."""
+    proj, z = project_points(state.pt_pos, T_cw, K_mat)
+    in_img = (
+        (z > 0.0)
+        & (proj[:, 0] >= 0)
+        & (proj[:, 0] < width)
+        & (proj[:, 1] >= 0)
+        & (proj[:, 1] < height)
+    )
+    C = -T_cw[:3, :3].T @ T_cw[:3, 3]
+    rays = state.pt_pos - C
+    dist = jnp.linalg.norm(rays, axis=-1)
+    # scale band with the reference's 0.8 / 1.2 slack (Frame.cc:170-177)
+    dist_ok = (dist >= 0.8 * state.pt_min_dist) & (dist <= 1.2 * state.pt_max_dist)
+    view_cos = jnp.sum(rays * state.pt_normal, axis=-1) / jnp.maximum(dist, 1e-9)
+    angle_ok = view_cos > view_cos_limit
+    visible = state.pt_valid & in_img & dist_ok & angle_ok
+    # predicted octave (Frame.cc:181-190): ratio = max_dist / dist
+    ratio = jnp.maximum(state.pt_max_dist, 1e-9) / jnp.maximum(dist, 1e-9)
+    pred = jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / jnp.log(1.2)).astype(jnp.int32)
+    pred = jnp.clip(pred, 0, 7)
+    return visible, proj, pred, dist
+
+
+@partial(
+    jax.jit,
+    static_argnames=("p_local", "width", "height", "radius", "n_levels"),
+)
+def track_frame(
+    state: MapState,
+    feat_xy,          # [N,2] undistorted keypoint pixels
+    feat_desc,        # [N,8] u32
+    feat_octave,      # [N] i32
+    feat_valid,       # [N] bool
+    T_pred,           # [4,4] predicted pose (motion model)
+    K_mat,
+    *,
+    p_local: int = 4096,
+    width: int = 640,
+    height: int = 480,
+    radius: float = 15.0,
+    n_levels: int = 8,
+) -> TrackResult:
+    """One fused tracking step. Returns optimized pose + feature->point
+    bindings for potential keyframe creation."""
+    P = state.pt_valid.shape[0]
+    N = feat_xy.shape[0]
+
+    visible, proj, pred_level, dist = frustum_gate(
+        state, T_pred, K_mat, width, height
+    )
+
+    # --- select up to p_local visible candidates (stable order by id) ---
+    score = visible.astype(jnp.float32)
+    # prefer points with more FOUND history on overflow (stability)
+    score = score * (1.0 + jnp.minimum(state.pt_found.astype(jnp.float32), 100.0) * 1e-3)
+    _, sel = jax.lax.top_k(score, p_local)
+    sel_ok = visible[sel]
+
+    cand_desc = state.pt_desc[sel]
+    cand_proj = proj[sel]
+    cand_level = pred_level[sel]
+
+    # --- geometric gate: radius scaled by predicted level (the reference
+    # scales the window by the scale factor of the predicted octave,
+    # ORBmatcher.cc:85-90), octave within [pred-1, pred+1] ---
+    sf = 1.2 ** cand_level.astype(jnp.float32)
+    r = radius * sf  # [p_local]
+    d = cand_proj[:, None, :] - feat_xy[None, :, :]
+    gate = jnp.sum(d * d, axis=-1) <= (r * r)[:, None]
+    gate &= (feat_octave[None, :] >= cand_level[:, None] - 1) & (
+        feat_octave[None, :] <= cand_level[:, None] + 1
+    )
+
+    best_idx, best_dist, matched = match(
+        cand_desc,
+        feat_desc,
+        allowed=gate,
+        valid_a=sel_ok,
+        valid_b=feat_valid,
+        max_dist=TH_HIGH,
+        nn_ratio=0.9,
+        unique=True,
+    )
+
+    # --- pose optimization over matches ---
+    muv = feat_xy[best_idx]
+    moct = feat_octave[best_idx]
+    inv_sigma2 = 1.0 / (1.2 ** (2.0 * moct.astype(jnp.float32)))
+    T_opt, inlier, n_in = pose_optimize(
+        T_pred, state.pt_pos[sel], muv, inv_sigma2, matched, K_mat
+    )
+
+    # --- bindings: feature -> point id for inlier matches ---
+    obs = jnp.full((N,), -1, jnp.int32)
+    tgt = jnp.where(matched & inlier, best_idx, N)  # dump slot N
+    obs_pad = jnp.concatenate([obs, jnp.full((1,), -1, jnp.int32)])
+    obs_pad = obs_pad.at[tgt].set(jnp.where(matched & inlier, sel, -1))
+    obs = obs_pad[:N]
+
+    visible_inc = visible.astype(jnp.int32)
+    found_pad = jnp.zeros((P,), jnp.int32)
+    found_inc = found_pad.at[jnp.where(matched & inlier, sel, 0)].add(
+        (matched & inlier).astype(jnp.int32)
+    )
+
+    return TrackResult(
+        pose=T_opt,
+        obs=obs,
+        n_inliers=n_in,
+        n_matches=jnp.sum(matched),
+        visible_inc=visible_inc,
+        found_inc=found_inc,
+    )
