@@ -59,7 +59,7 @@ class KeyFrameDatabase:
 
     def scores_against_all(self, ids, w):
         """[K] L1 scores of query BoW vs every stored keyframe."""
-        s = np.asarray(self._score_all(ids, w, self.bow_ids, self.bow_w))
+        s = np.array(self._score_all(ids, w, self.bow_ids, self.bow_w))
         s[~self.active] = 0.0
         return s
 
@@ -73,7 +73,7 @@ class KeyFrameDatabase:
             pos = jnp.clip(pos, 0, k_ids.shape[0] - 1)
             return jnp.sum((k_ids[pos] == q_ids) & (q_ids < big))
 
-        counts = np.asarray(
+        counts = np.array(
             jax.vmap(common, in_axes=(None, 0))(ids, self.bow_ids)
         )
         counts[~self.active] = 0

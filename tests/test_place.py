@@ -1,0 +1,127 @@
+"""Place recognition tests: vocabulary training/transform/scoring, text
+format roundtrip, and database candidate retrieval."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from orb_slam_tpu.place import (
+    Vocabulary, train_vocabulary, transform, bow_vector, l1_score,
+    KeyFrameDatabase,
+)
+from orb_slam_tpu.place.vocabulary import save_text, load_text
+
+
+def random_descs(rng, n):
+    return rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+
+
+def perturb(rng, descs, bits):
+    d = descs.copy()
+    n = len(d)
+    for _ in range(bits):
+        w = rng.integers(0, 8, n)
+        b = rng.integers(0, 32, n).astype(np.uint32)
+        d[np.arange(n), w] ^= np.uint32(1) << b
+    return d
+
+
+class TestVocabulary:
+    def test_train_and_transform(self, rng):
+        train = random_descs(rng, 500)
+        voc = train_vocabulary(train, k=5, L=3, seed=1)
+        assert voc.n_words > 20
+        words, nodes = transform(voc, jnp.asarray(train[:50]))
+        words = np.asarray(words)
+        assert (words >= 0).all() and (words < voc.n_words).all()
+
+    def test_same_descriptor_same_word(self, rng):
+        train = random_descs(rng, 400)
+        voc = train_vocabulary(train, k=5, L=3, seed=1)
+        q = random_descs(rng, 30)
+        w1 = np.asarray(transform(voc, jnp.asarray(q))[0])
+        w2 = np.asarray(transform(voc, jnp.asarray(q))[0])
+        np.testing.assert_array_equal(w1, w2)
+
+    def test_similar_images_score_higher(self, rng):
+        train = random_descs(rng, 800)
+        voc = train_vocabulary(train, k=6, L=3, seed=1)
+        ww = jnp.asarray(voc.word_weight)
+        imgA = random_descs(rng, 150)
+        imgA_noisy = perturb(rng, imgA, 8)    # same place, slight noise
+        imgB = random_descs(rng, 150)          # different place
+        bows = {}
+        for name, d in [("A", imgA), ("A2", imgA_noisy), ("B", imgB)]:
+            words, _ = transform(voc, jnp.asarray(d))
+            bows[name] = bow_vector(words, ww)
+        sAA = float(l1_score(*bows["A"], *bows["A2"]))
+        sAB = float(l1_score(*bows["A"], *bows["B"]))
+        sAA_self = float(l1_score(*bows["A"], *bows["A"]))
+        assert sAA_self == pytest.approx(1.0, abs=1e-5)
+        assert sAA > sAB * 1.5, (sAA, sAB)
+
+    def test_text_roundtrip(self, rng, tmp_path):
+        train = random_descs(rng, 300)
+        voc = train_vocabulary(train, k=4, L=3, seed=1)
+        p = str(tmp_path / "voc.txt")
+        save_text(voc, p)
+        voc2 = load_text(p)
+        assert voc2.k == voc.k and voc2.L == voc.L
+        assert voc2.n_words == voc.n_words
+        q = random_descs(rng, 40)
+        w1 = np.asarray(transform(voc, jnp.asarray(q))[0])
+        w2 = np.asarray(transform(voc2, jnp.asarray(q))[0])
+        # word ids may be permuted between the two node orderings; compare
+        # via co-occurrence: same partition of queries
+        for i in range(40):
+            for j in range(40):
+                assert (w1[i] == w1[j]) == (w2[i] == w2[j])
+
+
+class TestDatabase:
+    def _setup(self, rng, n_kf=10):
+        train = random_descs(rng, 800)
+        voc = train_vocabulary(train, k=6, L=3, seed=1)
+        db = KeyFrameDatabase(voc, max_keyframes=16, n_slots=128)
+        kf_descs = []
+        for k in range(n_kf):
+            d = random_descs(rng, 120)
+            kf_descs.append(d)
+            ids, w, _ = db.compute_bow(jnp.asarray(d), jnp.ones(120, bool))
+            db.add(k, ids, w)
+        return voc, db, kf_descs
+
+    def test_self_retrieval(self, rng):
+        voc, db, kf_descs = self._setup(rng)
+        q = perturb(rng, kf_descs[3], 6)
+        ids, w, _ = db.compute_bow(jnp.asarray(q), jnp.ones(len(q), bool))
+        scores = db.scores_against_all(ids, w)
+        assert scores.argmax() == 3
+
+    def test_reloc_candidates(self, rng):
+        voc, db, kf_descs = self._setup(rng)
+        covis = np.zeros((16, 16), np.int32)
+        q = perturb(rng, kf_descs[7], 6)
+        ids, w, _ = db.compute_bow(jnp.asarray(q), jnp.ones(len(q), bool))
+        cands = db.detect_relocalisation_candidates(ids, w, covis)
+        assert 7 in cands
+
+    def test_loop_candidates_exclude_covisible(self, rng):
+        voc, db, kf_descs = self._setup(rng)
+        covis = np.zeros((16, 16), np.int32)
+        covis[5, 6] = covis[6, 5] = 50
+        # query = KF5's own bow (as if revisiting); KF6 covisible -> excluded
+        q = perturb(rng, kf_descs[5], 4)
+        ids, w, _ = db.compute_bow(jnp.asarray(q), jnp.ones(len(q), bool))
+        cands = db.detect_loop_candidates(
+            ids, w, query_slot=5, covisible_slots=[6], min_score=0.01,
+            covis_weights=covis)
+        assert 6 not in cands and 5 not in cands
+
+    def test_erase(self, rng):
+        voc, db, kf_descs = self._setup(rng)
+        db.erase(3)
+        q = perturb(rng, kf_descs[3], 4)
+        ids, w, _ = db.compute_bow(jnp.asarray(q), jnp.ones(len(q), bool))
+        scores = db.scores_against_all(ids, w)
+        assert scores[3] == 0.0
