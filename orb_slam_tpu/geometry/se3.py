@@ -54,12 +54,12 @@ def se3_apply(T, p):
 
 
 def _left_jacobian_factors(theta2):
-    """A=sin/t, B=(1-cos)/t^2, C=(1-A)/t^2 with Taylor fallbacks."""
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    """A=sin/t, B=(1-cos)/t^2, C=(1-A)/t^2 with Taylor fallbacks.
+    AD-safe at theta = 0 (double-where on sanitized inputs)."""
     small = theta2 < _EPS
-    safe_t = jnp.where(small, 1.0, theta)
     safe_t2 = jnp.where(small, 1.0, theta2)
-    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / safe_t)
+    theta = jnp.sqrt(safe_t2)
+    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe_t2)
     C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - A) / safe_t2)
     return A, B, C

@@ -61,7 +61,7 @@ def sim3_exp(xi):
     s = jnp.exp(sigma)
     R = so3_exp(phi)
     theta2 = jnp.sum(phi * phi, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    theta = jnp.sqrt(theta2 + 1e-24)  # AD-safe at 0
     W = _hat(phi)
     I = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
 

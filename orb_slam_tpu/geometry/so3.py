@@ -29,15 +29,18 @@ def _hat(w):
 
 
 def so3_exp(w):
-    """Rodrigues: axis-angle (...,3) -> rotation matrix (...,3,3)."""
+    """Rodrigues: axis-angle (...,3) -> rotation matrix (...,3,3).
+
+    Autodiff-safe at w = 0: the generic branch is evaluated on sanitized
+    inputs (double-where) so jacfwd/jacrev never see sqrt(0) or 0/0 —
+    required by the pose-graph optimizer, which differentiates through
+    exp/log chains."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
-    # sin(t)/t and (1-cos(t))/t^2 with Taylor fallback near 0
     small = theta2 < _EPS
-    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
-    B = jnp.where(
-        small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2)
-    )
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
+    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
     W = _hat(w)
     I = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return I + A[..., None, None] * W + B[..., None, None] * (W @ W)
@@ -61,7 +64,7 @@ def so3_log(R):
         ],
         axis=-1,
     )
-    vee_norm = jnp.linalg.norm(vee, axis=-1)  # = 2 sin(theta)
+    vee_norm = jnp.sqrt(jnp.sum(vee * vee, axis=-1) + 1e-24)  # = 2 sin(theta); AD-safe at 0
     theta = jnp.arctan2(vee_norm * 0.5, cos_t)
     small = theta < 1e-5
     near_pi = theta > (jnp.pi - 1e-3)
@@ -79,7 +82,7 @@ def so3_log(R):
     d = jnp.take_along_axis(diag, k[..., None], axis=-1)[..., 0]
     axis_unnorm = jnp.take_along_axis(S, k[..., None, None], axis=-1)[..., 0]
     axis = axis_unnorm / jnp.sqrt(jnp.maximum(d, _EPS))[..., None]
-    axis = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), _EPS)
+    axis = axis / jnp.sqrt(jnp.sum(axis * axis, axis=-1, keepdims=True) + _EPS)
     # fix sign using vee (sin may be tiny but sign still informative); fall back to +
     sign = jnp.where(jnp.sum(axis * vee, axis=-1) < 0.0, -1.0, 1.0)
     w_pi = axis * (sign * theta)[..., None]
