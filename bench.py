@@ -1,0 +1,97 @@
+"""Benchmark: ORB extraction + fused tracking per frame on one TPU chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference runs real-time at 30 fps on a commodity CPU at 1000
+features/frame (BASELINE.md); the project target is >500 fps per chip."""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    # persistent compile cache: the fused frame program is large and the
+    # remote-compile path is slow; cache across bench runs
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from orb_slam_tpu.frontend.orb_extractor import ORBConfig, ORBExtractor
+    from orb_slam_tpu.geometry import CameraModel, undistort_points
+    from orb_slam_tpu.io.synthetic import SyntheticScene, lateral_trajectory
+    from orb_slam_tpu.pipeline.track_kernels import track_frame
+    from orb_slam_tpu.slam_map import MapConfig, empty_map
+    from orb_slam_tpu.slam_map.map_state import insert_keyframe, add_points
+
+    N_FEATURES = 1000
+    W, H = 640, 480
+    N_WARM = 3
+    N_ITERS = 30
+
+    scene = SyntheticScene(n_points=800, width=W, height=H)
+    poses = lateral_trajectory(8, step=0.05)
+    images = [jnp.asarray(scene.render_image(poses[i])) for i in range(8)]
+
+    cam = CameraModel.create(scene.fx, scene.fy, scene.cx, scene.cy,
+                             width=W, height=H)
+    extractor = ORBExtractor(ORBConfig(n_features=N_FEATURES))
+    K_mat = jnp.asarray(scene.K)
+
+    # build a map to track against
+    cfg = MapConfig(max_keyframes=64, max_points=8192, n_features=N_FEATURES)
+    rng = np.random.default_rng(0)
+    m = empty_map(cfg)
+    n_pts = 2000
+    pts = scene.points[
+        rng.integers(0, scene.n_points, n_pts)
+    ] + rng.normal(0, 0.01, (n_pts, 3)).astype(np.float32)
+    m = add_points(m, jnp.arange(n_pts), jnp.asarray(pts.astype(np.float32)),
+                   jnp.asarray(rng.integers(0, 2**32, (n_pts, 8), dtype=np.uint32)),
+                   jnp.zeros(n_pts, jnp.int32), jnp.zeros(n_pts, jnp.int32),
+                   jnp.ones(n_pts, bool))
+    m = m._replace(
+        pt_max_dist=jnp.full(cfg.max_points, 30.0),
+        pt_min_dist=jnp.zeros(cfg.max_points),
+        pt_normal=jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (cfg.max_points, 1)),
+    )
+
+    import jax
+    from functools import partial
+    from orb_slam_tpu.frontend.orb_extractor import _extract
+
+    @jax.jit
+    def step(m, img, T_pred):
+        """ONE fused device program: extraction + undistortion + tracking —
+        a single dispatch per frame (host round-trips cost ~ms through the
+        device tunnel; the whole hot path must be one XLA program)."""
+        feats = _extract(img, config=extractor.config)
+        xy_und = undistort_points(cam, feats.xy)
+        res = track_frame(
+            m, xy_und, feats.desc_u32, feats.octave, feats.valid,
+            T_pred, K_mat, p_local=4096, width=W, height=H)
+        return res.pose
+
+    T0 = jnp.eye(4)
+    # warmup / compile
+    for i in range(N_WARM):
+        step(m, images[i % len(images)], T0).block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(N_ITERS):
+        out = step(m, images[i % len(images)], T0)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / N_ITERS
+    fps = 1.0 / dt
+
+    baseline_fps = 30.0  # reference real-time claim on CPU
+    print(json.dumps({
+        "metric": "orb_extraction_plus_tracking_fps_1000feat",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / baseline_fps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

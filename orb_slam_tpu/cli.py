@@ -1,0 +1,99 @@
+"""CLI: `python -m orb_slam_tpu.cli run <settings.yaml> <dataset>`.
+
+Mirrors the reference's entry `rosrun ORB_SLAM ORB_SLAM <vocab> <settings>`
+(README.md:116) without ROS: a dataset path (image dir or video) replaces
+the image topic; the keyframe trajectory is written at shutdown
+(KeyFrameTrajectory.txt, main.cc:160-185)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def cmd_run(args):
+    import numpy as np
+    from orb_slam_tpu.io.dataset import open_dataset, PrefetchIterator
+    from orb_slam_tpu.io.settings import slam_config_from_settings
+    from orb_slam_tpu.io.trajectory import write_tum
+    from orb_slam_tpu.pipeline.system import SLAMSystem, SlamConfig, STATE_NAMES
+    from orb_slam_tpu.slam_map import MapConfig
+
+    vocab = None
+    if args.vocab:
+        from orb_slam_tpu.place.vocabulary import load_text
+        print(f"loading vocabulary {args.vocab} ...", file=sys.stderr)
+        vocab = load_text(args.vocab)
+
+    cam, orb, extras = slam_config_from_settings(args.settings)
+    cfg = SlamConfig(
+        camera=cam, orb=orb,
+        map=MapConfig(max_keyframes=args.max_keyframes,
+                      max_points=args.max_points,
+                      n_features=orb.n_features),
+        vocabulary=vocab,
+    )
+    system = SLAMSystem(cfg)
+    ds = PrefetchIterator(open_dataset(args.dataset))
+
+    n, t0 = 0, time.perf_counter()
+    for ts, img in ds:
+        pose = system.process(img=img, timestamp=ts)
+        n += 1
+        if n % 30 == 0:
+            dt = time.perf_counter() - t0
+            print(
+                f"[{n}] state={STATE_NAMES[system.state]} "
+                f"kfs={system.n_keyframes} pts={system.n_points} "
+                f"loops={system.n_loops_closed} fps={n / dt:.1f}",
+                file=sys.stderr,
+            )
+        if args.max_frames and n >= args.max_frames:
+            break
+
+    write_tum(args.out, system.keyframe_trajectory(), fps=extras["fps"])
+    print(f"wrote {args.out} ({system.n_keyframes} keyframes)", file=sys.stderr)
+
+
+def cmd_eval(args):
+    import numpy as np
+    from orb_slam_tpu.io.trajectory import read_tum, ate_rmse
+
+    ts_e, p_e, _ = read_tum(args.estimate)
+    ts_g, p_g, _ = read_tum(args.groundtruth)
+    # associate by nearest timestamp (TUM protocol)
+    idx = np.searchsorted(ts_g, ts_e)
+    idx = np.clip(idx, 0, len(ts_g) - 1)
+    keep = np.abs(ts_g[idx] - ts_e) < args.max_dt
+    rmse, _ = ate_rmse(p_e[keep], p_g[idx][keep])
+    print(json.dumps({"ate_rmse": rmse, "n_associated": int(keep.sum())}))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="orb_slam_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run SLAM on a dataset")
+    r.add_argument("settings", help="settings YAML (reference schema)")
+    r.add_argument("dataset", help="image directory or video file")
+    r.add_argument("--vocab", default=None, help="DBoW2 text vocabulary")
+    r.add_argument("--out", default="KeyFrameTrajectory.txt")
+    r.add_argument("--max-frames", type=int, default=0)
+    r.add_argument("--max-keyframes", type=int, default=256)
+    r.add_argument("--max-points", type=int, default=16384)
+    r.set_defaults(fn=cmd_run)
+
+    e = sub.add_parser("eval", help="ATE RMSE vs ground truth (TUM format)")
+    e.add_argument("estimate")
+    e.add_argument("groundtruth")
+    e.add_argument("--max-dt", type=float, default=0.05)
+    e.set_defaults(fn=cmd_eval)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -31,16 +31,31 @@ class SyntheticScene:
     extent: tuple = (8.0, 5.0, 4.0)   # x/y spread, z depth range start
     depth_range: tuple = (4.0, 12.0)
 
+    ring: bool = False  # points on a cylindrical ring around the origin
+                        # (gives view separation for loop-closing tests)
+
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)
-        self.points = np.stack(
-            [
-                rng.uniform(-self.extent[0], self.extent[0], self.n_points),
-                rng.uniform(-self.extent[1], self.extent[1], self.n_points),
-                rng.uniform(*self.depth_range, self.n_points),
-            ],
-            1,
-        ).astype(np.float32)
+        if self.ring:
+            theta = rng.uniform(0, 2 * np.pi, self.n_points)
+            radius = rng.uniform(*self.depth_range, self.n_points)
+            self.points = np.stack(
+                [
+                    radius * np.sin(theta),
+                    rng.uniform(-self.extent[1], self.extent[1], self.n_points),
+                    radius * np.cos(theta),
+                ],
+                1,
+            ).astype(np.float32)
+        else:
+            self.points = np.stack(
+                [
+                    rng.uniform(-self.extent[0], self.extent[0], self.n_points),
+                    rng.uniform(-self.extent[1], self.extent[1], self.n_points),
+                    rng.uniform(*self.depth_range, self.n_points),
+                ],
+                1,
+            ).astype(np.float32)
         # stable random descriptor per point
         self.descriptors = rng.integers(
             0, 2 ** 32, (self.n_points, 8), dtype=np.uint32

@@ -1,0 +1,344 @@
+"""Loop closing: detection, Sim3 computation, loop correction.
+
+Replaces LoopClosing (reference: src/LoopClosing.cc):
+  * DetectLoop (107-219): 10-KF cooldown, min-score from covisible
+    neighbors, database candidates, 3-consecutive covisibility-consistency;
+  * ComputeSim3 (225-394): per-candidate dense matching -> batched Sim3
+    RANSAC (Horn) -> Sim3 optimization -> acceptance gates;
+  * CorrectLoop (397-550): Sim3 propagation to the current KF's covisible
+    group and their map points, duplicate fusion, essential-graph
+    optimization, loop-edge insertion.
+
+Host logic is thin; the heavy steps (matching, RANSAC, Sim3 GN, pose-graph
+GN) are the jitted kernels from solvers/."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from orb_slam_tpu.ops.matching import match, TH_LOW
+from orb_slam_tpu.place.database import KeyFrameDatabase
+from orb_slam_tpu.place.vocabulary import l1_score
+from orb_slam_tpu.slam_map.covisibility import covisibility_weights
+from orb_slam_tpu.slam_map.observations import refresh_point_stats
+from orb_slam_tpu.solvers.sim3 import sim3_ransac, optimize_sim3
+from orb_slam_tpu.solvers.essential_graph import (
+    optimize_essential_graph, relative_sim3,
+)
+from orb_slam_tpu.geometry.sim3 import sim3_compose, sim3_inverse
+from orb_slam_tpu.pipeline.mapping_kernels import fuse_into_keyframe
+
+
+class LoopCloser:
+    def __init__(self, db: KeyFrameDatabase, cfg, rng_key=None):
+        self.db = db
+        self.cfg = cfg
+        self.consistent_groups = []  # list[(set(kf), count)]
+        self.last_loop_kf_counter = -100
+        self._key = rng_key if rng_key is not None else jax.random.PRNGKey(7)
+
+    # ------------------------------------------------------------- detection
+
+    def detect(self, system, new_kf: int):
+        """DetectLoop. Returns list of consistent candidate slots."""
+        m = system.map
+        feat_valid = m.kf_feat_valid[new_kf]
+        ids, w, _ = self.db.compute_bow(m.kf_desc[new_kf], feat_valid)
+        W_np = np.asarray(covisibility_weights(m))
+        covis = [int(k) for k in np.where(W_np[new_kf] > 0)[0]]
+
+        try:
+            if system.kf_counter - self.last_loop_kf_counter < 10:
+                return [], ids, w
+            # min score among covisible neighbors (LoopClosing.cc:114-131)
+            if covis:
+                scores = [
+                    float(l1_score(ids, w, self.db.bow_ids[c], self.db.bow_w[c]))
+                    for c in covis if self.db.active[c]
+                ]
+                min_score = min(scores) if scores else 0.05
+            else:
+                min_score = 0.05
+
+            cands = self.db.detect_loop_candidates(
+                ids, w, new_kf, covis, min_score, W_np)
+            if not cands:
+                self.consistent_groups = []
+                return [], ids, w
+
+            # covisibility-consistency over 3 consecutive KFs
+            # (LoopClosing.cc:146-219)
+            enough = []
+            new_groups = []
+            for c in cands:
+                group = set(np.where(W_np[c] > 0)[0].tolist()) | {c}
+                best_count = 0
+                for prev_group, count in self.consistent_groups:
+                    if group & prev_group:
+                        best_count = max(best_count, count + 1)
+                new_groups.append((group, best_count))
+                if best_count >= 3:
+                    enough.append(c)
+            self.consistent_groups = new_groups
+            return enough, ids, w
+        finally:
+            # the reference adds the KF to the database at the end of
+            # DetectLoop regardless of outcome (LoopClosing.cc:141,216)
+            self.db.add(new_kf, ids, w)
+
+    # ------------------------------------------------------------ sim3 stage
+
+    def compute_sim3(self, system, new_kf: int, candidates):
+        """Per-candidate Sim3 estimation. Returns (cand, (s,R,t) mapping
+        cand-frame -> cur-frame, matched pairs) or None."""
+        m = system.map
+        P = m.pt_valid.shape[0]
+        for cand in candidates:
+            # match features that have bound map points on both sides
+            bound_cur = (m.kf_obs[new_kf] >= 0) & m.kf_feat_valid[new_kf]
+            bound_cand = (m.kf_obs[cand] >= 0) & m.kf_feat_valid[cand]
+            idx, dist, ok = match(
+                m.kf_desc[new_kf], m.kf_desc[cand],
+                valid_a=bound_cur, valid_b=bound_cand,
+                max_dist=TH_LOW, nn_ratio=0.75, mutual=True, unique=True,
+            )
+            n_matches = int(jnp.sum(ok))
+            self.debug_last = {"cand": cand, "matches": n_matches}
+            if n_matches < 20:
+                continue
+
+            pid_cur = m.kf_obs[new_kf]
+            pid_cand = m.kf_obs[cand][idx]
+            ok = ok & (pid_cur >= 0) & (pid_cand >= 0)
+            pid_cur_s = jnp.clip(pid_cur, 0, P - 1)
+            pid_cand_s = jnp.clip(pid_cand, 0, P - 1)
+            ok = ok & m.pt_valid[pid_cur_s] & m.pt_valid[pid_cand_s]
+
+            T_cur = m.kf_pose[new_kf]
+            T_cand = m.kf_pose[cand]
+            x_cur = m.pt_pos[pid_cur_s]
+            x_cand = m.pt_pos[pid_cand_s]
+            p1 = x_cur @ T_cur[:3, :3].T + T_cur[:3, 3]     # cur cam frame
+            p2 = x_cand @ T_cand[:3, :3].T + T_cand[:3, 3]  # cand cam frame
+            uv1 = m.kf_xy[new_kf]
+            uv2 = m.kf_xy[cand][idx]
+            oct1 = m.kf_octave[new_kf].astype(jnp.float32)
+            oct2 = m.kf_octave[cand][idx].astype(jnp.float32)
+            s2_1 = 1.2 ** (2.0 * oct1)
+            s2_2 = 1.2 ** (2.0 * oct2)
+
+            self._key, key = jax.random.split(self._key)
+            self.debug_last["with_points"] = int(jnp.sum(ok))
+            s, R, t, inl, n_in = sim3_ransac(
+                p1, p2, uv1, uv2, ok, s2_1, s2_2, system.K_dev, key)
+            self.debug_last["ransac_inl"] = int(n_in)
+            if int(n_in) < 20:
+                continue
+            s, R, t, inl, n_in = optimize_sim3(
+                s, R, t, p1, p2, uv1, uv2, inl,
+                1.0 / s2_1, 1.0 / s2_2, system.K_dev)
+            if int(n_in) < 20:
+                continue
+            return cand, (s, R, t), inl
+        return None
+
+    # ------------------------------------------------------------ correction
+
+    def correct(self, system, new_kf: int, cand: int, S12):
+        """CorrectLoop (LoopClosing.cc:397-550). S12 = (s,R,t) with
+        p_cur = s R p_cand + t."""
+        m = refresh_point_stats(system.map)
+        K = m.kf_valid.shape[0]
+        P = m.pt_valid.shape[0]
+        kf_valid = np.asarray(m.kf_valid)
+        poses = np.asarray(m.kf_pose)
+
+        s12 = float(S12[0])
+        R12 = np.asarray(S12[1])
+        t12 = np.asarray(S12[2])
+
+        # corrected Sim3 of current KF: S_cw = S12 ∘ T_cand
+        T_cand = poses[cand]
+        S_cw_s = s12
+        S_cw_R = R12 @ T_cand[:3, :3]
+        S_cw_t = s12 * (R12 @ T_cand[:3, 3]) + t12
+
+        # covisible group of current KF gets corrected via relative poses
+        W_np = np.asarray(covisibility_weights(m))
+        group = [new_kf] + [int(k) for k in np.where(W_np[new_kf] > 0)[0]]
+        T_cur = poses[new_kf]
+        T_cur_inv = np.linalg.inv(T_cur)
+
+        base_s = np.ones(K, np.float32)
+        base_R = poses[:, :3, :3].copy()
+        base_t = poses[:, :3, 3].copy()
+        old_s = base_s.copy()
+        old_R = base_R.copy()
+        old_t = base_t.copy()
+        for k in group:
+            T_rel = poses[k] @ T_cur_inv  # k <- cur
+            base_s[k] = s12
+            base_R[k] = T_rel[:3, :3] @ S_cw_R
+            base_t[k] = T_rel[:3, :3] @ S_cw_t + T_rel[:3, 3]
+
+        # correct the group's map points: x' = S_new^-1( S_old(x) ) using
+        # each point's reference KF within the group (LoopClosing.cc:438-472)
+        pt_ref = np.asarray(m.pt_ref_kf)
+        pt_valid = np.asarray(m.pt_valid)
+        pos = np.array(m.pt_pos)
+        in_group = np.isin(pt_ref, group) & pt_valid
+        for k in group:
+            sel = in_group & (pt_ref == k)
+            if not sel.any():
+                continue
+            x = pos[sel]
+            p_cam = x @ old_R[k].T + old_t[k]  # S_old (scale 1)
+            # S_new^-1: x = (R^T (p - t)) / s
+            x_new = ((p_cam - base_t[k]) @ base_R[k]) / base_s[k]
+            pos[sel] = x_new
+        m = m._replace(pt_pos=jnp.asarray(pos))
+
+        # corrected SE3 for the group before pose graph: [R, t/s]
+        poses_corr = poses.copy()
+        for k in group:
+            poses_corr[k][:3, :3] = base_R[k]
+            poses_corr[k][:3, 3] = base_t[k] / base_s[k]
+        m = m._replace(kf_pose=jnp.asarray(poses_corr))
+
+        # --- fuse duplicates: project candidate-side local points into the
+        # current group (SearchAndFuse, LoopClosing.cc:557-570)
+        cand_group = [cand] + [int(k) for k in np.where(W_np[cand] > 0)[0]][:5]
+        for src in cand_group[:3]:
+            for dst in [new_kf] + group[1:3]:
+                if src != dst and kf_valid[src] and kf_valid[dst]:
+                    m, _, _ = fuse_into_keyframe(
+                        m, src, dst, system.K_dev,
+                        width=system.cfg.camera.width,
+                        height=system.cfg.camera.height)
+        system._reclaim_points(m)
+
+        # --- essential graph -------------------------------------------------
+        W_np2 = np.asarray(covisibility_weights(m))
+        sp = np.asarray(m.spanning_parent)
+        loop_edges_np = np.asarray(m.loop_edges)
+        edges = set()
+        for k in range(K):
+            if not kf_valid[k]:
+                continue
+            p = sp[k]
+            if p >= 0 and kf_valid[p]:
+                edges.add((min(k, int(p)), max(k, int(p))))
+            for j in range(k + 1, K):
+                if kf_valid[j] and W_np2[k, j] >= 100:
+                    edges.add((k, j))
+            for le in loop_edges_np[k]:
+                if le >= 0 and kf_valid[le]:
+                    edges.add((min(k, int(le)), max(k, int(le))))
+        edges.add((min(new_kf, cand), max(new_kf, cand)))
+        edges = sorted(edges)
+
+        E_pad = 1
+        while E_pad < max(len(edges), 4):
+            E_pad *= 2
+        ei = np.zeros(E_pad, np.int32)
+        ej = np.zeros(E_pad, np.int32)
+        ev = np.zeros(E_pad, bool)
+        ms_ = np.ones(E_pad, np.float32)
+        mR_ = np.tile(np.eye(3, dtype=np.float32), (E_pad, 1, 1))
+        mt_ = np.zeros((E_pad, 3), np.float32)
+        for n, (a, b) in enumerate(edges):
+            ei[n], ej[n], ev[n] = a, b, True
+            # measurement from PRE-correction poses, except the loop edge
+            # which uses corrected Sim3s (Optimizer.cc:620-700)
+            if (a, b) == (min(new_kf, cand), max(new_kf, cand)):
+                sa, Ra, ta = (
+                    (base_s[a], base_R[a], base_t[a]) if a in group
+                    else (old_s[a], old_R[a], old_t[a]))
+                sb, Rb, tb = (
+                    (base_s[b], base_R[b], base_t[b]) if b in group
+                    else (old_s[b], old_R[b], old_t[b]))
+            else:
+                sa, Ra, ta = old_s[a], old_R[a], old_t[a]
+                sb, Rb, tb = old_s[b], old_R[b], old_t[b]
+            rs, rR, rt = relative_sim3(
+                jnp.asarray(sa), jnp.asarray(Ra), jnp.asarray(ta),
+                jnp.asarray(sb), jnp.asarray(Rb), jnp.asarray(tb))
+            ms_[n] = float(rs)
+            mR_[n] = np.asarray(rR)
+            mt_[n] = np.asarray(rt)
+
+        fixed = ~kf_valid.copy()
+        fixed[cand] = True
+
+        s_o, R_o, t_o = optimize_essential_graph(
+            jnp.asarray(base_s), jnp.asarray(base_R), jnp.asarray(base_t),
+            jnp.asarray(ei), jnp.asarray(ej),
+            jnp.asarray(ms_), jnp.asarray(mR_), jnp.asarray(mt_),
+            jnp.asarray(ev), jnp.asarray(fixed), iters=15)
+        s_o = np.asarray(s_o)
+        R_o = np.asarray(R_o)
+        t_o = np.asarray(t_o)
+
+        # re-map ALL points through their reference KF's correction
+        # (Optimizer.cc:749-789)
+        pos = np.array(m.pt_pos)
+        pt_ref = np.asarray(m.pt_ref_kf)
+        pt_valid = np.asarray(m.pt_valid)
+        for k in range(K):
+            if not kf_valid[k]:
+                continue
+            sel = pt_valid & (pt_ref == k)
+            if not sel.any():
+                continue
+            x = pos[sel]
+            # old vertex value (post group-correction state): for group
+            # members base_*, others old SE3
+            if k in group:
+                so, Ro, to = base_s[k], base_R[k], base_t[k]
+            else:
+                so, Ro, to = old_s[k], old_R[k], old_t[k]
+            p_cam = (so * (x @ Ro.T) + to)
+            x_new = ((p_cam - t_o[k]) @ R_o[k]) / s_o[k]
+            pos[sel] = x_new
+
+        # recover SE3 poses [R, t/s]
+        poses_new = poses_corr.copy()
+        for k in range(K):
+            if kf_valid[k]:
+                poses_new[k][:3, :3] = R_o[k]
+                poses_new[k][:3, 3] = t_o[k] / s_o[k]
+
+        # record the loop edge both ways (KeyFrame::AddLoopEdge)
+        le = np.array(m.loop_edges)
+        for a, b in ((new_kf, cand), (cand, new_kf)):
+            row = le[a]
+            for i in range(len(row)):
+                if row[i] < 0:
+                    row[i] = b
+                    break
+        m = m._replace(
+            pt_pos=jnp.asarray(pos),
+            kf_pose=jnp.asarray(poses_new),
+            loop_edges=jnp.asarray(le),
+        )
+        system.map = refresh_point_stats(m)
+        system.last_pose = poses_new[new_kf].copy()
+        system.velocity = np.eye(4, dtype=np.float32)
+        self.last_loop_kf_counter = system.kf_counter
+        self.consistent_groups = []
+        return True
+
+    # ----------------------------------------------------------------- entry
+
+    def process(self, system, new_kf: int) -> bool:
+        """Full loop-closing pass for a freshly inserted keyframe."""
+        candidates, ids, w = self.detect(system, new_kf)
+        if not candidates:
+            return False
+        hit = self.compute_sim3(system, new_kf, candidates)
+        if hit is None:
+            return False
+        cand, S12, inl = hit
+        return self.correct(system, new_kf, cand, S12)

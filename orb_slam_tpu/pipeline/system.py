@@ -67,6 +67,11 @@ class SlamConfig:
     p_local: int = 4096               # tracking candidate pool
     track_radius: float = 15.0
     kf_cull_redundancy: float = 0.9   # reference: LocalMapping.cc:567
+    enable_loop_closing: bool = True
+    enable_relocalisation: bool = True
+    vocabulary: object = None         # place.Vocabulary; auto-trained if None
+    bow_slots: int = 500
+    min_reloc_inliers: int = 50       # reference: Tracking.cc:948-995
     seed: int = 0
 
     def __post_init__(self):
@@ -123,6 +128,10 @@ class SLAMSystem:
         self.trajectory = []  # (frame_id, timestamp, T_cw numpy)
         self.lost_count = 0
         self._rng = jax.random.PRNGKey(cfg.seed)
+        self.vocab = cfg.vocabulary
+        self.db = None
+        self.loop_closer = None
+        self.n_loops_closed = 0
 
     # --------------------------------------------------------------- frontend
 
@@ -274,7 +283,31 @@ class SLAMSystem:
         self.trajectory.append(
             (frame.frame_id, frame.timestamp, self.last_pose.copy()))
         self.state = WORKING
+        self._setup_place_recognition(k1, k2, ref, frame)
         return True
+
+    def _setup_place_recognition(self, k1, k2, ref, frame):
+        """Build vocabulary (if not provided) + database + loop closer once
+        the initial map exists. The reference loads a pre-trained ORBvoc.txt
+        (main.cc:94-108); we support that via place.vocabulary.load_text or
+        auto-train on the session's first descriptors."""
+        cfg = self.cfg
+        if not (cfg.enable_loop_closing or cfg.enable_relocalisation):
+            return
+        from orb_slam_tpu.place import train_vocabulary, KeyFrameDatabase
+        from orb_slam_tpu.pipeline.loop_closing import LoopCloser
+        if self.vocab is None:
+            descs = np.concatenate([
+                np.asarray(ref.desc)[np.asarray(ref.valid)],
+                np.asarray(frame.desc)[np.asarray(frame.valid)],
+            ])
+            self.vocab = train_vocabulary(descs, k=10, L=3, seed=cfg.seed)
+        self.db = KeyFrameDatabase(
+            self.vocab, cfg.map.max_keyframes, cfg.bow_slots)
+        self.loop_closer = LoopCloser(self.db, cfg)
+        for slot, fr in ((k1, ref), (k2, frame)):
+            ids, w, _ = self.db.compute_bow(fr.desc, fr.valid)
+            self.db.add(slot, ids, w)
 
     # ---------------------------------------------------------------- tracking
 
@@ -307,6 +340,13 @@ class SLAMSystem:
             self.state = LOST
             self.lost_count += 1
             self.velocity = np.eye(4, dtype=np.float32)
+            # auto-reset if lost soon after init (Tracking.cc:272-279)
+            if self.n_keyframes <= 5 and self.kf_counter <= 5:
+                self.reset()
+                return None
+            if cfg.enable_relocalisation and self.db is not None:
+                if self._relocalize(frame):
+                    return self.last_pose.copy()
             return None
 
         self.state = WORKING
@@ -363,6 +403,70 @@ class SLAMSystem:
         self.last_kf_slot = slot
         self.ref_kf_tracked = n_inliers
         self._local_mapping(slot)
+        if (self.cfg.enable_loop_closing and self.loop_closer is not None
+                and bool(self.map.kf_valid[slot])):
+            # loop_closer.detect registers the KF's BoW in the database
+            if self.loop_closer.process(self, slot):
+                self.n_loops_closed += 1
+        elif self.db is not None and bool(self.map.kf_valid[slot]):
+            ids, w, _ = self.db.compute_bow(frame.desc, frame.valid)
+            self.db.add(slot, ids, w)
+
+    def _relocalize(self, frame: FrameData) -> bool:
+        """Relocalisation ladder (reference: Tracking::Relocalisation,
+        src/Tracking.cc:841-1010): BoW candidates -> dense match vs
+        candidate KF's bound points -> batched EPnP RANSAC ->
+        pose optimization -> accept at >= min_reloc_inliers, then one
+        guided track_frame pass re-anchors the tracker."""
+        from orb_slam_tpu.solvers.epnp import epnp_ransac
+        from orb_slam_tpu.solvers.pose_opt import pose_optimize
+        cfg = self.cfg
+        m = self.map
+        P = m.pt_valid.shape[0]
+        ids, w, _ = self.db.compute_bow(frame.desc, frame.valid)
+        W_np = np.asarray(covisibility_weights(m))
+        cands = self.db.detect_relocalisation_candidates(ids, w, W_np)
+        for cand in cands[:5]:
+            bound = (m.kf_obs[cand] >= 0) & m.kf_feat_valid[cand]
+            idx, dist, ok = match(
+                frame.desc, m.kf_desc[cand],
+                valid_a=frame.valid, valid_b=bound,
+                max_dist=TH_LOW, nn_ratio=0.75, unique=True,
+            )
+            if int(jnp.sum(ok)) < 15:
+                continue
+            pids = m.kf_obs[cand][idx]
+            ok = ok & (pids >= 0)
+            pid_s = jnp.clip(pids, 0, P - 1)
+            ok = ok & m.pt_valid[pid_s]
+            pw = m.pt_pos[pid_s]
+            inv_s2 = 1.0 / (1.2 ** (2.0 * frame.octave.astype(jnp.float32)))
+            self._rng, key = jax.random.split(self._rng)
+            R, t, inl, n_in = epnp_ransac(
+                pw, frame.xy, ok, inv_s2, self.K_dev, key)
+            if int(n_in) < 10:
+                continue
+            T0 = np.eye(4, dtype=np.float32)
+            T0[:3, :3] = np.asarray(R)
+            T0[:3, 3] = np.asarray(t)
+            T_opt, inlier, n_opt = pose_optimize(
+                jnp.asarray(T0), pw, frame.xy, inv_s2, inl, self.K_dev)
+            if int(n_opt) < 10:
+                continue
+            # guided refinement against the whole local map
+            res = track_frame(
+                m, frame.xy, frame.desc, frame.octave, frame.valid,
+                T_opt, self.K_dev, p_local=cfg.p_local,
+                width=cfg.camera.width, height=cfg.camera.height,
+                radius=cfg.track_radius)
+            if int(res.n_inliers) >= cfg.min_reloc_inliers:
+                self.last_pose = np.asarray(res.pose)
+                self.velocity = np.eye(4, dtype=np.float32)
+                self.state = WORKING
+                self.trajectory.append(
+                    (frame.frame_id, frame.timestamp, self.last_pose.copy()))
+                return True
+        return False
 
     def _local_mapping(self, new_kf: int):
         cfg = self.cfg
@@ -395,7 +499,27 @@ class SLAMSystem:
             self.free_pt = sorted(set(self.free_pt))
 
         # --- CreateNewMapPoints with top covisible neighbors ---
-        tri_neighbors = neighbors[: cfg.n_triangulation_neighbors]
+        # Baseline gate (reference: LocalMapping.cc:230-235): skip neighbors
+        # whose baseline / median scene depth < 0.01 — they cannot
+        # triangulate. Without this, slow motion wastes the whole neighbor
+        # budget on zero-parallax pairs.
+        poses_np = np.asarray(m.kf_pose)
+        pos_np = np.asarray(m.pt_pos)
+        obs_new = np.asarray(m.kf_obs[new_kf])
+        bound_pts = pos_np[obs_new[obs_new >= 0]]
+        if len(bound_pts):
+            pc = bound_pts @ poses_np[new_kf][:3, :3].T + poses_np[new_kf][:3, 3]
+            median_depth = max(float(np.median(pc[:, 2])), 1e-6)
+        else:
+            median_depth = 1.0
+        C_new = -poses_np[new_kf][:3, :3].T @ poses_np[new_kf][:3, 3]
+        tri_neighbors = []
+        for nb in neighbors:
+            C_nb = -poses_np[nb][:3, :3].T @ poses_np[nb][:3, 3]
+            if np.linalg.norm(C_new - C_nb) / median_depth > 0.01:
+                tri_neighbors.append(nb)
+            if len(tri_neighbors) >= cfg.n_triangulation_neighbors:
+                break
         for nb in tri_neighbors:
             if not self.free_pt:
                 break
@@ -450,6 +574,8 @@ class SLAMSystem:
                 self._repair_spanning_tree(m, nb)
                 self.free_kf.append(nb)
                 self.kf_order[nb] = -1
+                if self.db is not None:
+                    self.db.erase(nb)
 
         self.map = refresh_point_stats(m)
         self.last_pose = np.asarray(self.map.kf_pose[new_kf])
