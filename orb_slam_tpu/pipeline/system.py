@@ -351,11 +351,7 @@ class SLAMSystem:
 
         self.state = WORKING
         T_new = np.asarray(res.pose)
-        # visibility statistics
-        self.map = self.map._replace(
-            pt_visible=self.map.pt_visible + res.visible_inc,
-            pt_found=self.map.pt_found + res.found_inc,
-        )
+        self._apply_counters(res)
         # motion model: velocity = T_new @ inv(T_last)  (Tracking.cc:282-295)
         self.velocity = (T_new @ np.linalg.inv(self.last_pose)).astype(np.float32)
         self.last_pose = T_new
@@ -365,6 +361,19 @@ class SLAMSystem:
             self._create_keyframe(frame, res.obs, n_in)
         return T_new
 
+    def _apply_counters(self, res):
+        """Visibility statistics (MapPoint::IncreaseVisible/Found). In the
+        async pipeline this buffers deltas instead (single map writer)."""
+        self.map = self.map._replace(
+            pt_visible=self.map.pt_visible + res.visible_inc,
+            pt_found=self.map.pt_found + res.found_inc,
+        )
+
+    def _mapper_accepting(self) -> bool:
+        """SetAcceptKeyFrames backpressure (LocalMapping.cc:507-517);
+        always true in sequential mode."""
+        return True
+
     def _need_new_keyframe(self, frame: FrameData, n_inliers: int) -> bool:
         """Reference policy c1a/c1b/c2 (src/Tracking.cc:625-663)."""
         cfg = self.cfg
@@ -372,7 +381,7 @@ class SLAMSystem:
             return False
         since = frame.frame_id - self.last_kf_frame
         c1a = since >= cfg.max_frames_between_kf
-        c1b = since >= cfg.min_frames_between_kf  # mapper idle in seq mode
+        c1b = since >= cfg.min_frames_between_kf and self._mapper_accepting()
         c2 = (
             n_inliers < self.ref_kf_tracked * cfg.kf_tracked_ratio
             and n_inliers > 15
@@ -388,21 +397,34 @@ class SLAMSystem:
         return slot
 
     def _create_keyframe(self, frame: FrameData, obs, n_inliers: int):
-        """KF insertion + the LocalMapping pipeline, run synchronously
-        (reference: Tracking::CreateNewKeyFrame + LocalMapping::Run body,
-        SURVEY.md §3.3)."""
-        cfg = self.cfg
+        """Tracker-side keyframe decision; dispatch to the mapper
+        (synchronous in the base system; queued in AsyncSLAMSystem)."""
+        self.last_kf_frame = frame.frame_id
+        self.ref_kf_tracked = n_inliers
+        self._dispatch_keyframe(frame, obs, n_inliers, self.last_pose.copy())
+
+    def _dispatch_keyframe(self, frame: FrameData, obs, n_inliers: int, pose):
+        """Sequential mode: run the whole mapping pipeline inline."""
+        self._integrate_keyframe(frame, obs, n_inliers, pose)
+
+    def _integrate_keyframe(self, frame: FrameData, obs, n_inliers: int,
+                            pose=None, abort=None):
+        """KF insertion + the LocalMapping pipeline + loop closing
+        (reference: Tracking::CreateNewKeyFrame + LocalMapping::Run body +
+        LoopClosing::Run body, SURVEY.md §3.3-3.4). `abort` is an optional
+        callable polled between stages — the InterruptBA semantics
+        (LocalMapping.cc:519-522)."""
+        if pose is None:
+            pose = self.last_pose
         slot = self._alloc_kf()
         m = insert_keyframe(
-            self.map, slot, jnp.asarray(self.last_pose), frame.frame_id,
+            self.map, slot, jnp.asarray(pose), frame.frame_id,
             frame.xy, frame.octave, frame.angle, frame.desc, frame.valid,
             obs, self.last_kf_slot,
         )
         self.map = m
-        self.last_kf_frame = frame.frame_id
         self.last_kf_slot = slot
-        self.ref_kf_tracked = n_inliers
-        self._local_mapping(slot)
+        self._local_mapping(slot, abort=abort)
         if (self.cfg.enable_loop_closing and self.loop_closer is not None
                 and bool(self.map.kf_valid[slot])):
             # loop_closer.detect registers the KF's BoW in the database
@@ -411,6 +433,7 @@ class SLAMSystem:
         elif self.db is not None and bool(self.map.kf_valid[slot]):
             ids, w, _ = self.db.compute_bow(frame.desc, frame.valid)
             self.db.add(slot, ids, w)
+        return slot
 
     def _relocalize(self, frame: FrameData) -> bool:
         """Relocalisation ladder (reference: Tracking::Relocalisation,
@@ -468,9 +491,10 @@ class SLAMSystem:
                 return True
         return False
 
-    def _local_mapping(self, new_kf: int):
+    def _local_mapping(self, new_kf: int, abort=None):
         cfg = self.cfg
         m = self.map
+        aborted = lambda: abort is not None and abort()
 
         # --- covisibility + spanning parent (ProcessNewKeyFrame) ---
         W = covisibility_weights(m)
@@ -521,7 +545,7 @@ class SLAMSystem:
             if len(tri_neighbors) >= cfg.n_triangulation_neighbors:
                 break
         for nb in tri_neighbors:
-            if not self.free_pt:
+            if not self.free_pt or aborted():
                 break
             cand = triangulate_new_points(m, new_kf, nb, self.K_dev)
             n_free = min(len(self.free_pt), 512)
@@ -560,9 +584,15 @@ class SLAMSystem:
         bound = obs_np[obs_np >= 0]
         local_pts_mask[bound] = True
         pt_opt = jnp.asarray(local_pts_mask) & m.pt_valid
+        # Local BA in two abortable phases (g2o's setForceStopFlag semantics,
+        # Optimizer.cc:351-352): a newly queued keyframe interrupts phase 2.
         m, outlier, (okf, ofeat) = bundle_adjust(
-            m, self.K_dev, cam_opt, pt_opt)
+            m, self.K_dev, cam_opt, pt_opt, iters1=5, iters2=0)
         m = apply_edge_outliers(m, outlier, okf, ofeat)
+        if not aborted():
+            m, outlier, (okf, ofeat) = bundle_adjust(
+                m, self.K_dev, cam_opt, pt_opt, iters1=0, iters2=10)
+            m = apply_edge_outliers(m, outlier, okf, ofeat)
 
         # --- KeyFrameCulling (LocalMapping.cc:524-578) ---
         for nb in neighbors[:5]:
@@ -578,6 +608,13 @@ class SLAMSystem:
                     self.db.erase(nb)
 
         self.map = refresh_point_stats(m)
+        self._publish_mapped_pose(new_kf)
+
+    def _publish_mapped_pose(self, new_kf: int):
+        """Sequential mode: the tracker adopts the BA-refined keyframe pose.
+        Async mode overrides (the tracker has moved on; corrections flow
+        through the shared map like the reference's map-deformation +
+        ForceRelocalisation path)."""
         self.last_pose = np.asarray(self.map.kf_pose[new_kf])
 
     def _reclaim_points(self, m: MapState):
