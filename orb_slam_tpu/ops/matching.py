@@ -27,9 +27,30 @@ def hamming_matrix(desc_a, desc_b):
     """[N, 8] u32 x [M, 8] u32 -> [N, M] int32 Hamming distances.
 
     XOR + popcount on the VPU (replaces the 256-bit parallel popcount at
-    src/ORBmatcher.cc:1794-1810)."""
+    src/ORBmatcher.cc:1794-1810). Exact but VPU-bound; prefer
+    hamming_matrix_mxu for large N*M."""
     x = desc_a[:, None, :] ^ desc_b[None, :, :]  # [N, M, 8]
     return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+
+
+def unpack_pm1(desc_u32):
+    """[N, 8] u32 -> [N, 256] bf16 in {-1, +1}.
+
+    The +-1 unpacking turns Hamming distance into an MXU matmul:
+    ham(a, b) = (256 - <a_pm1, b_pm1>) / 2 — EXACT (the dot product is an
+    even integer in [-256, 256]; bf16 inputs with f32 accumulation represent
+    it exactly). This is the TPU-native form of the reference's popcount."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (desc_u32[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    bits = bits.reshape(desc_u32.shape[0], 256)
+    return (2.0 * bits.astype(jnp.bfloat16) - 1.0)
+
+
+def hamming_matrix_mxu(pm1_a, pm1_b):
+    """[N,256] x [M,256] (+-1 bf16) -> [N, M] i32 exact Hamming distances,
+    computed as one MXU matmul: d = (256 - A B^T) / 2."""
+    dot = jnp.dot(pm1_a, pm1_b.T, preferred_element_type=jnp.float32)
+    return ((256.0 - dot) * 0.5).astype(jnp.int32)
 
 
 def rotation_consistency_mask(angle_a, angle_b_matched, valid):
@@ -100,7 +121,11 @@ def match(
       semantics, src/ORBmatcher.cc:598-713).
     Returns (best_idx [N] i32, best_dist [N] i32, matched [N] bool)."""
     N, M = desc_a.shape[0], desc_b.shape[0]
-    dist = hamming_matrix(desc_a, desc_b)
+    if N * M >= 1 << 16:
+        # large problems: Hamming as an MXU matmul (exact; see unpack_pm1)
+        dist = hamming_matrix_mxu(unpack_pm1(desc_a), unpack_pm1(desc_b))
+    else:
+        dist = hamming_matrix(desc_a, desc_b)
     gate = jnp.ones((N, M), bool)
     if allowed is not None:
         gate &= allowed

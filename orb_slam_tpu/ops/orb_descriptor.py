@@ -53,15 +53,29 @@ _WX, _WY = _moment_weights()
 
 def gather_patches(img, xy, size: int):
     """Gather [K, size, size] patches centered at integer xy (x, y).
-    Clamped at borders (keypoints live >= EDGE_THRESHOLD from the edge)."""
+
+    TPU-first: raw gathers lower to slow scalar loads on TPU; instead the
+    patch extraction is TWO MXU matmuls against one-hot row/column selectors
+    (gather-as-matmul). Exact for integer-valued images (bf16 represents
+    ints <= 256 exactly; accumulation is f32). Border indices clamp
+    (edge-replicate)."""
+    K = xy.shape[0]
+    H, W = img.shape
     half = size // 2
-
-    def one(p):
-        return jax.lax.dynamic_slice(
-            img, (p[1] - half, p[0] - half), (size, size)
-        )
-
-    return jax.vmap(one)(xy)
+    offs = jnp.arange(size, dtype=jnp.int32) - half
+    rows = jnp.clip(xy[:, 1:2] + offs[None, :], 0, H - 1)  # [K, size]
+    cols = jnp.clip(xy[:, 0:1] + offs[None, :], 0, W - 1)
+    row_oh = jax.nn.one_hot(rows, H, dtype=jnp.bfloat16)   # [K, size, H]
+    col_oh = jax.nn.one_hot(cols, W, dtype=jnp.bfloat16)   # [K, size, W]
+    strips = jnp.einsum(
+        "ksh,hw->ksw", row_oh, img.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # [K, size, W]
+    patches = jnp.einsum(
+        "ksw,kcw->ksc", strips.astype(jnp.bfloat16), col_oh,
+        preferred_element_type=jnp.float32,
+    )  # [K, size(row), size(col)]
+    return patches
 
 
 def ic_angles(img, xy):
@@ -80,14 +94,23 @@ def ic_angles(img, xy):
 _PAT = ORB_PATTERN.astype(np.float32).reshape(256, 2, 2)
 
 
+_RB_HALF = 19  # max rotated pattern offset: ceil(13 * sqrt(2)) = 19
+_RB_SIZE = 2 * _RB_HALF + 1  # 39
+
+
 def rbrief_descriptors(blurred, xy, angles):
     """256-bit rBRIEF.
 
-    blurred: [H, W] float32 (7x7 sigma=2 Gaussian-blurred level image).
+    blurred: [H, W] float32 (7x7 sigma=2 Gaussian-blurred level image,
+    rounded to integers upstream for cv2 bit-exactness).
     xy: [K, 2] int32 keypoint centers. angles: [K] radians.
     Returns [K, 32] uint8, bit layout identical to OpenCV ORB
-    (byte i, bit j <=> pattern pair 8i+j; bit set iff I(pA) < I(pB))."""
-    H, W = blurred.shape
+    (byte i, bit j <=> pattern pair 8i+j; bit set iff I(pA) < I(pB)).
+
+    TPU-first: one MXU patch extraction per keyframe ([K, 39, 39] covers
+    every rotated offset), then the 512 samples per keypoint index WITHIN
+    the small flattened patch (take_along_axis over 1521 elements — cheap
+    compared to a global [H*W] gather)."""
     ca, sa = jnp.cos(angles), jnp.sin(angles)  # [K]
     px = jnp.asarray(_PAT[:, :, 0])  # [256, 2]
     py = jnp.asarray(_PAT[:, :, 1])
@@ -95,10 +118,12 @@ def rbrief_descriptors(blurred, xy, angles):
     # (round-half-to-even == jnp.round)
     col = jnp.round(px[None] * ca[:, None, None] - py[None] * sa[:, None, None])
     row = jnp.round(px[None] * sa[:, None, None] + py[None] * ca[:, None, None])
-    rows = jnp.clip(xy[:, 1:2, None] + row.astype(jnp.int32), 0, H - 1)
-    cols = jnp.clip(xy[:, 0:1, None] + col.astype(jnp.int32), 0, W - 1)
-    flat_idx = (rows * W + cols).reshape(xy.shape[0], 512)
-    vals = jnp.take(blurred.reshape(-1), flat_idx, axis=0)  # [K, 512]
+    r_in = jnp.clip(row.astype(jnp.int32) + _RB_HALF, 0, _RB_SIZE - 1)
+    c_in = jnp.clip(col.astype(jnp.int32) + _RB_HALF, 0, _RB_SIZE - 1)
+    flat_idx = (r_in * _RB_SIZE + c_in).reshape(xy.shape[0], 512)
+    patches = gather_patches(blurred, xy, _RB_SIZE)  # [K, 39, 39]
+    flat = patches.reshape(xy.shape[0], _RB_SIZE * _RB_SIZE)
+    vals = jnp.take_along_axis(flat, flat_idx, axis=1)  # [K, 512]
     va = vals[:, 0::2]
     vb = vals[:, 1::2]
     bits = (va < vb).astype(jnp.uint8).reshape(-1, 32, 8)  # [K, byte, bit]

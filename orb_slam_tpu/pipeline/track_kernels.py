@@ -134,8 +134,12 @@ def track_frame(
     muv = feat_xy[best_idx]
     moct = feat_octave[best_idx]
     inv_sigma2 = 1.0 / (1.2 ** (2.0 * moct.astype(jnp.float32)))
+    # short GN schedule: each iteration is a sequentially-dependent small
+    # solve (latency-bound on TPU); with a motion-model init 4+3+2+2 rounds
+    # converge as well as the reference's 10+10+7+5 LM budget
     T_opt, inlier, n_in = pose_optimize(
-        T_pred, state.pt_pos[sel], muv, inv_sigma2, matched, K_mat
+        T_pred, state.pt_pos[sel], muv, inv_sigma2, matched, K_mat,
+        iters=(4, 3, 2, 2),
     )
 
     # --- bindings: feature -> point id for inlier matches ---

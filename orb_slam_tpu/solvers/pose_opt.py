@@ -59,7 +59,8 @@ def _residuals_jac(T_cw, points, uv, K):
     return r, J, z
 
 
-def _gn_rounds(T0, points, uv, inv_sigma2, valid, K, damping=1e-3):
+def _gn_rounds(T0, points, uv, inv_sigma2, valid, K, damping=1e-3,
+               iters=ROUND_ITERS):
     T = T0
     inlier = valid
     for rnd in range(4):
@@ -82,7 +83,7 @@ def _gn_rounds(T0, points, uv, inv_sigma2, valid, K, damping=1e-3):
             dx = jnp.where(ok, dx, 0.0)
             return se3_exp(dx) @ T
 
-        T = jax.lax.fori_loop(0, ROUND_ITERS[rnd], iteration, T)
+        T = jax.lax.fori_loop(0, iters[rnd], iteration, T)
         # re-gate for the next round on the updated pose (edges excluded in
         # a previous round may re-enter — same as the reference's level-0/1
         # flipping at src/Optimizer.cc:244-270)
@@ -92,13 +93,18 @@ def _gn_rounds(T0, points, uv, inv_sigma2, valid, K, damping=1e-3):
     return T, inlier
 
 
-@partial(jax.jit, static_argnames=())
-def pose_optimize(T_cw0, points, uv, inv_sigma2, valid, K):
+@partial(jax.jit, static_argnames=("iters",))
+def pose_optimize(T_cw0, points, uv, inv_sigma2, valid, K,
+                  iters=ROUND_ITERS):
     """Optimize one camera pose against fixed 3D points.
 
     T_cw0: [4,4] initial world->camera. points: [N,3]. uv: [N,2] observed
     (undistorted pixels). inv_sigma2: [N] per-observation information
-    (1/sigma^2 by octave). valid: [N] bool.
+    (1/sigma^2 by octave). valid: [N] bool. iters: per-round GN iteration
+    schedule — the default matches the reference's (10,10,7,5) LM budget;
+    latency-critical callers (per-frame tracking) use a shorter schedule
+    since GN with a motion-model init converges in a few steps.
     Returns (T_cw [4,4], inlier [N] bool, n_inliers i32)."""
-    T, inlier = _gn_rounds(T_cw0, points, uv, inv_sigma2, valid, K)
+    T, inlier = _gn_rounds(T_cw0, points, uv, inv_sigma2, valid, K,
+                           iters=iters)
     return T, inlier, jnp.sum(inlier)
