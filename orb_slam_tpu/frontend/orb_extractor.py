@@ -42,6 +42,8 @@ class ORBConfig:
     fast_th_min: float = 7.0
     edge_threshold: int = 16
     cell_size: int = 32
+    # reference nScoreType: 1 = FAST score (default), 0 = Harris rescoring
+    score_harris: bool = False
 
     def level_quotas(self):
         """Geometric per-level feature quotas (reference:
@@ -138,6 +140,7 @@ def _extract(img, *, config: ORBConfig) -> ORBFeatures:
             th_min=config.fast_th_min,
             cell_size=config.cell_size,
             border=config.edge_threshold,
+            use_harris=config.score_harris,
         )
         angle = ic_angles(level_img, xy)
         # Round the blurred image to integers: this reproduces cv2's uint8

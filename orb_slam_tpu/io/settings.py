@@ -42,6 +42,7 @@ def slam_config_from_settings(path: str, width: int = 640, height: int = 480):
         scale_factor=float(g("ORBextractor.scaleFactor", 1.2)),
         n_levels=int(g("ORBextractor.nLevels", 8)),
         fast_th_ini=float(g("ORBextractor.fastTh", 20)),
+        score_harris=int(g("ORBextractor.nScoreType", 1)) == 0,
     )
     extras = {
         "fps": float(g("Camera.fps", 30.0)),

@@ -61,6 +61,36 @@ def fast_score_map(img):
     return jnp.where(inner, score, 0.0)
 
 
+def harris_score_map(img, k: float = 0.04, block: int = 7):
+    """Harris corner response at every pixel (reference option
+    nScoreType=0 rescored keypoints with HARRIS_K=0.04,
+    src/ORBextractor.cc:73,616-620). Sobel gradients + box-summed structure
+    tensor, det - k*trace^2, scaled like OpenCV's HarrisResponses."""
+    H, W = img.shape
+    p = jnp.pad(img, 1, mode="edge")
+    # Sobel
+    gx = (
+        (p[0:-2, 2:] + 2.0 * p[1:-1, 2:] + p[2:, 2:])
+        - (p[0:-2, 0:-2] + 2.0 * p[1:-1, 0:-2] + p[2:, 0:-2])
+    )
+    gy = (
+        (p[2:, 0:-2] + 2.0 * p[2:, 1:-1] + p[2:, 2:])
+        - (p[0:-2, 0:-2] + 2.0 * p[0:-2, 1:-1] + p[0:-2, 2:])
+    )
+    a = gx * gx
+    b = gy * gy
+    c = gx * gy
+
+    def box(x):
+        return jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, (block, block), (1, 1), "SAME"
+        )
+
+    A, B, C = box(a), box(b), box(c)
+    scale = (1.0 / (4 * 255 * block)) ** 4  # OpenCV HarrisResponses scaling
+    return (A * B - C * C - k * (A + B) ** 2) * scale
+
+
 def nms3x3(score):
     """3x3 non-maximum suppression mask (ties keep all — matches cv::FAST's
     strictly-greater check closely enough for float scores)."""
@@ -72,7 +102,8 @@ def nms3x3(score):
 
 @partial(
     jax.jit,
-    static_argnames=("max_kp", "cell_size", "border", "th_ini", "th_min"),
+    static_argnames=("max_kp", "cell_size", "border", "th_ini", "th_min",
+                     "use_harris"),
 )
 def detect_fast_keypoints(
     img,
@@ -81,6 +112,7 @@ def detect_fast_keypoints(
     th_min: float = 7.0,
     cell_size: int = 32,
     border: int = 16,
+    use_harris: bool = False,
 ):
     """Full FAST detection for one pyramid level.
 
@@ -89,11 +121,24 @@ def detect_fast_keypoints(
     corner, then keep the strongest `max_kp` overall with per-cell caps
     providing spatial spread.
 
+    `use_harris` reproduces nScoreType=0: detection/thresholding stays FAST
+    but corners are RANKED by Harris response (src/ORBextractor.cc:616-620).
+
     Returns (xy [max_kp, 2] int32 (x, y), score [max_kp] f32, valid [max_kp]).
     """
     H, W = img.shape
     score = fast_score_map(img)
     keep = nms3x3(score)
+    if use_harris:
+        harris = harris_score_map(img)
+        # rank by (positive-shifted) Harris among FAST-passing pixels; the
+        # threshold logic below still gates on the FAST score via `keep`
+        keep = keep & (score > th_min)
+        score = jnp.where(
+            score > th_min,
+            jnp.maximum(harris - jnp.min(harris), 1e-6) + th_ini + 1.0,
+            score,
+        )
 
     ys = jnp.arange(H)[:, None]
     xs = jnp.arange(W)[None, :]

@@ -278,27 +278,56 @@ def save_text(voc: Vocabulary, path: str):
 
 def load_text(path: str) -> Vocabulary:
     """Parse the DBoW2 text vocabulary format (ORBvoc.txt compatible —
-    the reference loads it at startup, src/main.cc:94-108)."""
-    with open(path) as f:
-        header = f.readline().split()
-        k, L = int(header[0]), int(header[1])
-        rows = [line.split() for line in f if line.strip()]
-    n_nodes = len(rows) + 1
-    children = np.full((n_nodes, k), -1, np.int32)
-    node_desc = np.zeros((n_nodes, 32), np.uint8)
-    is_leaf = np.zeros(n_nodes, bool)
-    weights = np.zeros(n_nodes, np.float32)
-    child_count = np.zeros(n_nodes, np.int32)
-    level = np.zeros(n_nodes, np.int32)
-    for i, r in enumerate(rows):
-        nid = i + 1
-        pid = int(r[0])
-        is_leaf[nid] = bool(int(r[1]))
-        node_desc[nid] = [int(x) for x in r[2:34]]
-        weights[nid] = float(r[34])
-        children[pid, child_count[pid]] = nid
-        child_count[pid] += 1
-        level[nid] = level[pid] + 1
+    the reference loads it at startup, src/main.cc:94-108). Uses the native
+    mmap parser (orb_slam_tpu.native) when available — the reference's
+    istream loader takes minutes on the ~1M-node ORBvoc.txt; the native
+    path is seconds — with a pure-Python fallback."""
+    from orb_slam_tpu.native import parse_vocab_text
+
+    parsed = parse_vocab_text(path)
+    if parsed is not None:
+        k, L, parent1, leaf1, node_desc, w1 = parsed
+        n_nodes = len(parent1) + 1
+        is_leaf = np.zeros(n_nodes, bool)
+        is_leaf[1:] = leaf1.astype(bool)
+        weights = np.zeros(n_nodes, np.float32)
+        weights[1:] = w1
+        parent = np.full(n_nodes, -1, np.int64)
+        parent[1:] = parent1
+        # children table: stable order preserves the file's child order
+        nids = np.arange(1, n_nodes)
+        order = np.argsort(parent1, kind="stable")
+        sorted_pid = parent1[order]
+        first = np.concatenate([[True], sorted_pid[1:] != sorted_pid[:-1]])
+        group_start = np.maximum.accumulate(np.where(first, np.arange(len(order)), 0))
+        slot = np.arange(len(order)) - group_start
+        children = np.full((n_nodes, k), -1, np.int32)
+        children[sorted_pid, np.minimum(slot, k - 1)] = nids[order]
+        # levels: parents precede children in the file; L passes converge
+        level = np.zeros(n_nodes, np.int32)
+        for _ in range(L + 1):
+            level[1:] = level[parent1] + 1
+    else:
+        with open(path) as f:
+            header = f.readline().split()
+            k, L = int(header[0]), int(header[1])
+            rows = [line.split() for line in f if line.strip()]
+        n_nodes = len(rows) + 1
+        children = np.full((n_nodes, k), -1, np.int32)
+        node_desc = np.zeros((n_nodes, 32), np.uint8)
+        is_leaf = np.zeros(n_nodes, bool)
+        weights = np.zeros(n_nodes, np.float32)
+        child_count = np.zeros(n_nodes, np.int32)
+        level = np.zeros(n_nodes, np.int32)
+        for i, r in enumerate(rows):
+            nid = i + 1
+            pid = int(r[0])
+            is_leaf[nid] = bool(int(r[1]))
+            node_desc[nid] = [int(x) for x in r[2:34]]
+            weights[nid] = float(r[34])
+            children[pid, child_count[pid]] = nid
+            child_count[pid] += 1
+            level[nid] = level[pid] + 1
     word_of_node = np.full(n_nodes, -1, np.int32)
     leaves = np.where(is_leaf)[0]
     word_of_node[leaves] = np.arange(len(leaves))
