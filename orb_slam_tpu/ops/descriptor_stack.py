@@ -1,0 +1,89 @@
+"""Level-stacked orientation + rBRIEF: all keypoints of all levels at once.
+
+Op-count-minimal formulation (see ops/fast_stack.py for why): the pyramid
+stack is viewed as one tall [L*H, W] image; per-keypoint patch rows come
+from ONE row-gather (row index = level*H + y + offset, clamped within the
+level's true rows), columns from ONE take_along_axis; orientation moments
+and descriptor sampling then run over the whole keypoint set in a handful
+of batched ops."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam_tpu.ops.orb_descriptor import (
+    _WX, _WY, _PAT, _RB_HALF, _RB_SIZE, HALF_PATCH, PATCH,
+)
+
+
+def extract_patches_stack(stack, level, xy, shapes, size: int):
+    """stack: [L, H, W]; level: [K] i32; xy: [K, 2] level-local coords.
+    shapes: static ((h, w), ...) true level sizes.
+    Returns [K, size, size] f32 patches (edge-replicated within each level).
+    """
+    Lv, H, W = stack.shape
+    half = size // 2
+    flat = stack.reshape(Lv * H, W)
+    offs = jnp.arange(size, dtype=jnp.int32) - half
+    hs = jnp.asarray([h for h, w in shapes], jnp.int32)[level]  # [K]
+    ws = jnp.asarray([w for h, w in shapes], jnp.int32)[level]
+    rows_local = jnp.clip(xy[:, 1:2] + offs[None, :], 0, hs[:, None] - 1)
+    rows = level[:, None] * H + rows_local                     # [K, size]
+    cols = jnp.clip(xy[:, 0:1] + offs[None, :], 0, ws[:, None] - 1)
+    strips = flat[rows]                                        # [K, size, W]
+    patches = jnp.take_along_axis(
+        strips, cols[:, None, :].repeat(size, 1), axis=2
+    )                                                          # [K, size, size]
+    return patches
+
+
+def ic_angles_stack(stack, level, xy, shapes):
+    """Orientation for all keypoints from the raw pyramid stack."""
+    patches = extract_patches_stack(stack, level, xy, shapes, PATCH)
+    m10 = jnp.einsum("kij,ij->k", patches, jnp.asarray(_WX))
+    m01 = jnp.einsum("kij,ij->k", patches, jnp.asarray(_WY))
+    return jnp.arctan2(m01, m10)
+
+
+def rbrief_stack(blurred_stack, level, xy, angles, shapes):
+    """Descriptors for all keypoints from the blurred pyramid stack.
+    Returns [K, 32] u8 (OpenCV bit layout)."""
+    patches = extract_patches_stack(
+        blurred_stack, level, xy, shapes, _RB_SIZE)
+    flat = patches.reshape(xy.shape[0], _RB_SIZE * _RB_SIZE)
+    ca, sa = jnp.cos(angles), jnp.sin(angles)
+    px = jnp.asarray(_PAT[:, :, 0])
+    py = jnp.asarray(_PAT[:, :, 1])
+    col = jnp.round(px[None] * ca[:, None, None] - py[None] * sa[:, None, None])
+    row = jnp.round(px[None] * sa[:, None, None] + py[None] * ca[:, None, None])
+    r_in = jnp.clip(row.astype(jnp.int32) + _RB_HALF, 0, _RB_SIZE - 1)
+    c_in = jnp.clip(col.astype(jnp.int32) + _RB_HALF, 0, _RB_SIZE - 1)
+    idx = (r_in * _RB_SIZE + c_in).reshape(xy.shape[0], 512)
+    vals = jnp.take_along_axis(flat, idx, axis=1)
+    va = vals[:, 0::2]
+    vb = vals[:, 1::2]
+    bits = (va < vb).astype(jnp.uint8).reshape(-1, 32, 8)
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+    return jnp.sum(bits * weights[None, None, :], axis=-1, dtype=jnp.uint8)
+
+
+def gaussian_blur_stack(stack, ksize: int = 7, sigma: float = 2.0):
+    """Separable 7x7 blur over [L, H, W] (reflect padding on the canvas;
+    levels occupying the top-left corner see zeros past their true edge —
+    only the outermost 3 rows/cols of each level differ from the exact
+    per-level blur, outside any keypoint's sampling band in practice)."""
+    from orb_slam_tpu.ops.image import gaussian_kernel1d
+
+    k = jnp.asarray(gaussian_kernel1d(ksize, sigma))
+    r = ksize // 2
+    p = jnp.pad(stack, ((0, 0), (r, r), (0, 0)), mode="reflect")
+    out = jnp.zeros_like(stack)
+    for i in range(ksize):
+        out = out + k[i] * jax.lax.dynamic_slice_in_dim(p, i, stack.shape[1], 1)
+    p = jnp.pad(out, ((0, 0), (0, 0), (r, r)), mode="reflect")
+    out2 = jnp.zeros_like(stack)
+    for i in range(ksize):
+        out2 = out2 + k[i] * jax.lax.dynamic_slice_in_dim(p, i, stack.shape[2], 2)
+    return out2
