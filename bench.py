@@ -64,17 +64,20 @@ def main():
     from functools import partial
     from orb_slam_tpu.frontend.orb_extractor import _extract_stacked
 
-    @jax.jit
-    def step(m, img, T_pred):
-        """ONE fused device program: extraction + undistortion + tracking —
-        a single dispatch per frame (host round-trips cost ~ms through the
-        device tunnel; the whole hot path must be one XLA program)."""
+    from orb_slam_tpu.utils.timing import dispatch_fused
+
+    def _step(m, img, T_pred):
+        """The whole frame: extraction + undistortion + tracking."""
         feats = _extract_stacked(img, config=extractor.config)
         xy_und = undistort_points(cam, feats.xy)
         res = track_frame(
             m, xy_und, feats.desc_u32, feats.octave, feats.valid,
             T_pred, K_mat, p_local=4096, width=W, height=H)
         return res.pose
+
+    # dispatch_fused: the whole program executes on-device as one scan body
+    # (per-op dispatch overhead otherwise dominates at SLAM image sizes)
+    step = jax.jit(dispatch_fused(_step))
 
     T0 = jnp.eye(4)
     # force input residency, then warmup / compile

@@ -17,6 +17,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from orb_slam_tpu.utils.dispatch import fused_jit
+
 TH_HIGH = 100
 TH_LOW = 50
 HISTO_LENGTH = 30
@@ -93,7 +95,7 @@ def resolve_duplicates(best_idx, best_dist, valid, m_size: int):
 
 
 @partial(
-    jax.jit,
+    fused_jit,
     static_argnames=("max_dist", "nn_ratio", "mutual", "check_rotation", "unique"),
 )
 def match(

@@ -34,8 +34,9 @@ def _fast_nms_kernel(img_ref, score_ref, keep_ref):
     padded = jnp.pad(img, 3, mode="edge")
 
     def neighbor(k):
+        # static slices: Mosaic TPU lowering has no dynamic_slice
         dy, dx = int(FAST_CIRCLE[k][0]), int(FAST_CIRCLE[k][1])
-        return jax.lax.dynamic_slice(padded, (3 + dy, 3 + dx), (H, W))
+        return padded[3 + dy: 3 + dy + H, 3 + dx: 3 + dx + W]
 
     diffs = [neighbor(k) - img for k in range(16)]
 
@@ -65,9 +66,7 @@ def _fast_nms_kernel(img_ref, score_ref, keep_ref):
         for dx in (-1, 0, 1):
             if dy == 0 and dx == 0:
                 continue
-            mx = jnp.maximum(
-                mx, jax.lax.dynamic_slice(spad, (1 + dy, 1 + dx), (H, W))
-            )
+            mx = jnp.maximum(mx, spad[1 + dy: 1 + dy + H, 1 + dx: 1 + dx + W])
     score_ref[0] = score
     keep_ref[0] = (score >= mx).astype(jnp.float32)
 

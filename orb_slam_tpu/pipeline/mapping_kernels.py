@@ -21,6 +21,7 @@ from orb_slam_tpu.geometry.triangulation import triangulate_dlt
 from orb_slam_tpu.ops.matching import match, TH_LOW, TH_HIGH
 from orb_slam_tpu.slam_map.map_state import MapState
 from orb_slam_tpu.slam_map.observations import observation_table
+from orb_slam_tpu.utils.dispatch import fused_jit
 
 CHI2_2D = 5.991
 
@@ -45,7 +46,7 @@ class TriangulationCandidates(NamedTuple):
     valid: jnp.ndarray     # [N] bool
 
 
-@jax.jit
+@fused_jit
 def triangulate_new_points(
     state: MapState, kf_a, kf_b, K_mat
 ) -> TriangulationCandidates:
@@ -147,7 +148,7 @@ def triangulate_new_points(
     )
 
 
-@jax.jit
+@fused_jit
 def insert_new_points(
     state: MapState, kf_a, kf_b, cand: TriangulationCandidates, free_slots
 ):
@@ -209,7 +210,7 @@ def insert_new_points(
     return new_state, jnp.sum(active)
 
 
-@partial(jax.jit, static_argnames=("width", "height"))
+@partial(fused_jit, static_argnames=("width", "height"))
 def fuse_into_keyframe(state: MapState, src_kf, dst_kf, K_mat,
                        width: int = 640, height: int = 480):
     """Project src_kf's bound points into dst_kf, match, then either bind
@@ -314,7 +315,7 @@ def fuse_into_keyframe(state: MapState, src_kf, dst_kf, K_mat,
     ), jnp.sum(bind_free), jnp.sum(has_existing)
 
 
-@jax.jit
+@fused_jit
 def point_cull_stats(state: MapState, current_kf_counter):
     """Per-point statistics for MapPointCulling (LocalMapping.cc:175-203).
     Returns (found_ratio [P], n_obs [P], age_kfs [P])."""
@@ -329,7 +330,7 @@ def point_cull_stats(state: MapState, current_kf_counter):
     return ratio, obs_counts, age
 
 
-@jax.jit
+@fused_jit
 def keyframe_redundancy(state: MapState, kf):
     """Fraction of kf's bound points seen by >= 3 other KFs at the same or
     finer scale (KeyFrameCulling, LocalMapping.cc:524-578)."""

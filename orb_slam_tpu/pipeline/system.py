@@ -104,7 +104,28 @@ class SLAMSystem:
         self.extractor = ORBExtractor(self.cfg.orb)
         self.K = np.asarray(self.cfg.camera.K)
         self.K_dev = jnp.asarray(self.K)
+        self._frontend_jit = None
         self.reset()
+
+    def _frontend(self, gray):
+        """ONE fused device program: extraction + keypoint undistortion
+        (per-op dispatch is expensive on the target runtime)."""
+        if self._frontend_jit is None:
+            from functools import partial as _partial
+            from orb_slam_tpu.utils.dispatch import fused_jit
+            from orb_slam_tpu.frontend.orb_extractor import (
+                _extract_stacked, _extract,
+            )
+            impl = _extract_stacked if self.extractor.stacked else _extract
+            cam = self.cfg.camera
+
+            def fn(img):
+                feats = impl(img, config=self.cfg.orb)
+                xy_und = undistort_points(cam, feats.xy)
+                return feats, xy_und
+
+            self._frontend_jit = fused_jit(fn)
+        return self._frontend_jit(gray)
 
     # ------------------------------------------------------------------ setup
 
@@ -150,8 +171,7 @@ class SLAMSystem:
             )
         else:
             gray = to_grayscale(jnp.asarray(img))
-            feats = self.extractor(gray)
-            xy_und = undistort_points(self.cfg.camera, feats.xy)
+            feats, xy_und = self._frontend(gray)
             f = FrameData(xy_und, feats.desc_u32, feats.octave, feats.angle,
                           feats.valid, self.frame_id, ts)
         return f

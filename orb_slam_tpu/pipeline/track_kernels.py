@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from orb_slam_tpu.ops.matching import match, TH_HIGH
 from orb_slam_tpu.solvers.pose_opt import pose_optimize
 from orb_slam_tpu.slam_map.map_state import MapState
+from orb_slam_tpu.utils.dispatch import fused_jit
 
 
 class TrackResult(NamedTuple):
@@ -70,7 +71,7 @@ def frustum_gate(state: MapState, T_cw, K_mat, width, height,
 
 
 @partial(
-    jax.jit,
+    fused_jit,
     static_argnames=("p_local", "width", "height", "radius", "n_levels"),
 )
 def track_frame(

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from orb_slam_tpu.slam_map.map_state import MapState
+from orb_slam_tpu.utils.dispatch import fused_jit
 
 COVIS_THRESHOLD = 15  # reference: KeyFrame.cc:372
 ESSENTIAL_THRESHOLD = 100  # reference: Optimizer.cc:701, MapPublisher.cc:240
@@ -31,6 +32,7 @@ def incidence_matrix(state: MapState):
     return A & state.pt_valid[None, :]
 
 
+@fused_jit
 def covisibility_weights(state: MapState, A=None):
     """[K, K] i32 shared-observation counts (diagonal zeroed).
     W = A A^T on the MXU — replaces KeyFrame::UpdateConnections counting."""

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from orb_slam_tpu.slam_map.map_state import MapState
 from orb_slam_tpu.ops.matching import INVALID_DIST
+from orb_slam_tpu.utils.dispatch import fused_jit
 
 OBS_CAP = 16  # max observations per point used for statistics
 
@@ -71,7 +72,7 @@ def observation_table(state: MapState):
     return obs_kf, obs_feat, obs_valid
 
 
-@jax.jit
+@fused_jit
 def refresh_point_stats(state: MapState) -> MapState:
     """Recompute distinctive descriptors, normals, scale bands and reference
     keyframes for ALL valid points in one batched pass.

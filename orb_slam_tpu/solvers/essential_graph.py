@@ -20,6 +20,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from orb_slam_tpu.utils.dispatch import fused_jit
 from orb_slam_tpu.geometry.sim3 import (
     sim3_exp, sim3_log, sim3_compose, sim3_inverse,
 )
@@ -44,7 +45,7 @@ def _edge_residual(xi_i, xi_j, base_i, base_j, meas):
     return sim3_log(err)
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(fused_jit, static_argnames=("iters",))
 def optimize_essential_graph(
     base_s, base_R, base_t,     # [K], [K,3,3], [K,3] current vertex Sim3s
     edges_i, edges_j,           # [E] i32 endpoints

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from orb_slam_tpu.geometry.se3 import se3_exp
 from orb_slam_tpu.slam_map.map_state import MapState
 from orb_slam_tpu.slam_map.observations import observation_table, OBS_CAP
+from orb_slam_tpu.utils.dispatch import fused_jit
 
 CHI2_MONO = 5.991
 HUBER_DELTA = jnp.sqrt(CHI2_MONO)
@@ -174,7 +175,7 @@ def _edge_chi2(kf_pose, pt_pos, obs_kf, obs_feat, kf_xy, K_mat, inv_sigma2):
     return chi2, z
 
 
-@partial(jax.jit, static_argnames=("iters1", "iters2"))
+@partial(fused_jit, static_argnames=("iters1", "iters2"))
 def bundle_adjust(
     state: MapState,
     K_mat,
@@ -232,6 +233,7 @@ def bundle_adjust(
     return new_state, outlier, (obs_kf, obs_feat)
 
 
+@fused_jit
 def apply_edge_outliers(state: MapState, outlier, obs_kf, obs_feat) -> MapState:
     """Unbind observations flagged as BA outliers (reference erases the
     observation both ways, Optimizer.cc:497-515)."""

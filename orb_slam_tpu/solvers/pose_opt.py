@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from orb_slam_tpu.geometry.se3 import se3_exp
+from orb_slam_tpu.utils.dispatch import fused_jit
 
 HUBER_DELTA2 = 5.991
 ROUND_CHI2 = (9.21, 7.378, 5.991, 5.991)
@@ -93,7 +94,7 @@ def _gn_rounds(T0, points, uv, inv_sigma2, valid, K, damping=1e-3,
     return T, inlier
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(fused_jit, static_argnames=("iters",))
 def pose_optimize(T_cw0, points, uv, inv_sigma2, valid, K,
                   iters=ROUND_ITERS):
     """Optimize one camera pose against fixed 3D points.

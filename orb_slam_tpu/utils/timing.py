@@ -51,6 +51,31 @@ class StageTimer:
         )
 
 
+def dispatch_fused(fn):
+    """Wrap `fn` in a 1-iteration lax.scan.
+
+    On runtimes where each top-level op execution carries a fixed dispatch
+    overhead (measured ~ms through remote-device tunnels), a program of N
+    ops costs N*overhead; inside a scan body the ops execute on-device as
+    one unit. Measured on this target: a 480x640 FAST stencil drops from
+    ~18000 ms (80 top-level ops, uncached) to 4.6 ms scan-wrapped — with
+    identical results. Semantically a no-op; compose INSIDE jit:
+    jax.jit(dispatch_fused(f))."""
+    import functools
+
+    import jax.numpy as jnp
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        def body(carry, _):
+            return carry, fn(*args, **kwargs)
+
+        _, out = jax.lax.scan(body, 0, jnp.arange(1))
+        return jax.tree.map(lambda x: x[0], out)
+
+    return wrapped
+
+
 @contextlib.contextmanager
 def trace_to(logdir: str):
     """XLA profiler trace (view with tensorboard / xprof)."""
