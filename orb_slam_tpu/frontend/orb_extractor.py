@@ -118,27 +118,35 @@ class ORBExtractor:
       * stacked=False: straightforward per-level pipeline (the variant the
         cv2 bit-exactness tests exercise)."""
 
-    def __init__(self, config: ORBConfig = ORBConfig(), stacked: bool = True):
+    def __init__(self, config: ORBConfig = ORBConfig(), stacked: bool = True,
+                 use_pallas: bool | None = None):
         self.config = config
         self.stacked = stacked
+        if use_pallas is None:
+            use_pallas = jax.default_backend() in ("tpu", "axon")
+        self.use_pallas = use_pallas
         self._jitted = {}
 
     def __call__(self, img) -> ORBFeatures:
         """img: [H, W] float32 grayscale in [0,255] (device array)."""
         shape = tuple(img.shape)
         if shape not in self._jitted:
-            fn = _extract_stacked if self.stacked else _extract
-            self._jitted[shape] = jax.jit(partial(fn, config=self.config))
+            if self.stacked:
+                fn = partial(_extract_stacked, config=self.config,
+                             use_pallas=self.use_pallas)
+            else:
+                fn = partial(_extract, config=self.config)
+            self._jitted[shape] = jax.jit(fn)
         return self._jitted[shape](img)
 
 
-def _extract_stacked(img, *, config: ORBConfig) -> ORBFeatures:
+def _extract_stacked(img, *, config: ORBConfig,
+                     use_pallas: bool = False) -> ORBFeatures:
     from orb_slam_tpu.ops.fast_stack import (
         build_pyramid_stack, detect_keypoints_stack,
+        detect_keypoints_stack_pallas,
     )
-    from orb_slam_tpu.ops.descriptor_stack import (
-        ic_angles_stack, rbrief_stack, gaussian_blur_stack,
-    )
+    from orb_slam_tpu.ops.descriptor_stack import gaussian_blur_stack
 
     quotas = tuple(config.level_quotas())
     scales = config.scale_factors()
@@ -146,31 +154,45 @@ def _extract_stacked(img, *, config: ORBConfig) -> ORBFeatures:
         img, config.n_levels, config.scale_factor)
     shapes_t = tuple(shapes)
 
-    xy_l, score_l, valid_l = detect_keypoints_stack(
+    detect = (
+        partial(detect_keypoints_stack_pallas, interpret=False)
+        if use_pallas else detect_keypoints_stack
+    )
+    xy_l, score_l, valid_l = detect(
         stack, shapes_t, quotas,
         th_ini=config.fast_th_ini, th_min=config.fast_th_min,
         cell_size=config.cell_size, border=config.edge_threshold,
     )  # [L, Qmax, ...]
 
-    # flatten to exactly sum(quotas) slots, per-level blocks in order
+    blurred = jnp.round(gaussian_blur_stack(stack))
+
+    # per-level orientation + descriptors: one-hot MXU patch extraction
+    # within each level's true region (static slices of the stack)
     Lv = config.n_levels
-    parts_xy, parts_s, parts_v, parts_lvl = [], [], [], []
+    parts = {k: [] for k in ("xy", "s", "v", "lvl", "ang", "desc")}
     for l in range(Lv):
         q = quotas[l]
         if q == 0:
             continue
-        parts_xy.append(xy_l[l, :q])
-        parts_s.append(score_l[l, :q])
-        parts_v.append(valid_l[l, :q])
-        parts_lvl.append(jnp.full((q,), l, jnp.int32))
-    xy = jnp.concatenate(parts_xy)
-    resp = jnp.concatenate(parts_s)
-    valid = jnp.concatenate(parts_v)
-    octave = jnp.concatenate(parts_lvl)
+        h, w = shapes_t[l]
+        lvl_img = stack[l, :h, :w]
+        lvl_blur = blurred[l, :h, :w]
+        xy_lq = xy_l[l, :q]
+        ang = ic_angles(lvl_img, xy_lq)
+        desc = rbrief_descriptors(lvl_blur, xy_lq, ang)
+        parts["xy"].append(xy_lq)
+        parts["s"].append(score_l[l, :q])
+        parts["v"].append(valid_l[l, :q])
+        parts["lvl"].append(jnp.full((q,), l, jnp.int32))
+        parts["ang"].append(ang)
+        parts["desc"].append(desc)
 
-    angle = ic_angles_stack(stack, octave, xy, shapes_t)
-    blurred = jnp.round(gaussian_blur_stack(stack))
-    desc_u8 = rbrief_stack(blurred, octave, xy, angle, shapes_t)
+    xy = jnp.concatenate(parts["xy"])
+    resp = jnp.concatenate(parts["s"])
+    valid = jnp.concatenate(parts["v"])
+    octave = jnp.concatenate(parts["lvl"])
+    angle = jnp.concatenate(parts["ang"])
+    desc_u8 = jnp.concatenate(parts["desc"])
     desc_u32 = pack_u32(desc_u8)
 
     scale_arr = jnp.asarray(scales, jnp.float32)[octave]

@@ -22,21 +22,64 @@ from orb_slam_tpu.ops.fast import FAST_CIRCLE
 from orb_slam_tpu.ops.image import pyramid_shapes
 
 
+def _bilinear_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """[n_out, n_in] bilinear interpolation matrix (half-pixel centers,
+    matching jax.image.resize / cv2.INTER_LINEAR alignment)."""
+    scale = n_in / n_out
+    src = (np.arange(n_out) + 0.5) * scale - 0.5
+    i0 = np.clip(np.floor(src).astype(np.int64), 0, n_in - 1)
+    i1 = np.clip(i0 + 1, 0, n_in - 1)
+    w1 = np.clip(src - i0, 0.0, 1.0)
+    M = np.zeros((n_out, n_in), np.float32)
+    M[np.arange(n_out), i0] += 1.0 - w1
+    M[np.arange(n_out), i1] += w1
+    return M
+
+
 def build_pyramid_stack(img, n_levels: int, scale_factor: float):
     """Successive bilinear downscale packed into a [L, H, W] canvas
     (levels occupy [:h_l, :w_l]; the rest is zero). Returns (stack,
-    shapes list)."""
+    shapes list).
+
+    Resize = two MXU matmuls per level (R_l @ img @ C_l^T with precomputed
+    bilinear matrices). Each level resamples DIRECTLY from level 0 — the
+    matrices are the composition of the per-step bilinear interpolations,
+    so values match successive resizing while all levels compute in
+    PARALLEL (a serial 8-level chain pays 8x the op latency on the target
+    runtime; jax.image.resize additionally lowers to slow gathers)."""
     H, W = img.shape
     shapes = pyramid_shapes(H, W, n_levels, scale_factor)
-    levels = [img]
+    # Compose successive-step bilinear matrices so level l's matrix maps
+    # level 0 -> level l exactly as repeated resizing would, THEN zero-pad
+    # each matrix to canvas size: the whole pyramid (including its zero
+    # canvas padding) becomes TWO batched bf16 matmuls — no pads, no
+    # concats, no serial level chain (all measured pathologically slow on
+    # the target runtime; f32 matmuls are ~40x slower than bf16 there).
+    Rs, Cs = [np.eye(H, dtype=np.float32)], [np.eye(W, dtype=np.float32)]
     for lvl in range(1, n_levels):
-        levels.append(jax.image.resize(
-            levels[-1], shapes[lvl], method="bilinear", antialias=False))
-    canvas = [
-        jnp.pad(l, ((0, H - l.shape[0]), (0, W - l.shape[1])))
-        for l in levels
-    ]
-    return jnp.stack(canvas), shapes
+        h0, w0 = shapes[lvl - 1]
+        h1, w1 = shapes[lvl]
+        Rs.append(_bilinear_matrix(h0, h1) @ Rs[-1])
+        Cs.append(_bilinear_matrix(w0, w1) @ Cs[-1])
+    Rp = np.zeros((n_levels - 1, H, H), np.float32)
+    Cp = np.zeros((n_levels - 1, W, W), np.float32)
+    for lvl in range(1, n_levels):
+        Rp[lvl - 1, : Rs[lvl].shape[0]] = Rs[lvl]
+        Cp[lvl - 1, : Cs[lvl].shape[0]] = Cs[lvl]
+    # bf16 weights with f32 accumulation: the interpolation weights carry
+    # <= 2^-8 relative error -> intensity error <~0.5/255, far below the
+    # FAST thresholds (the exact per-level extractor remains the oracle).
+    # Level 0 bypasses the matmul entirely (bit-exact original image).
+    rows = jnp.einsum(
+        "lab,bw->law", jnp.asarray(Rp, jnp.bfloat16), img.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # [L-1, H, W]
+    rest = jnp.einsum(
+        "law,lvw->lav", rows.astype(jnp.bfloat16), jnp.asarray(Cp, jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # [L-1, H, W]
+    stack = jnp.concatenate([img[None], rest], axis=0)
+    return stack, shapes
 
 
 def fast_score_stack(stack):
@@ -137,7 +180,21 @@ def select_from_scores(score, keep, shapes, quotas, th_ini=20.0, th_min=7.0,
     n_cells = nCy * nCx
     q_max = max(quotas)
     k_cell = int(min(max(4, -(-2 * q_max // n_cells)), cell_size * cell_size))
-    cell_top, cell_idx = jax.lax.top_k(cells, k_cell)  # [L, nc, k]
+    # per-cell top-k via k rounds of (max, mask-out) — sorting the full
+    # [L, n_cells, cell^2] tensor with lax.top_k costs ~50 ms on the target
+    # runtime; k_cell max-extractions are pure VPU passes
+    pos = jax.lax.broadcasted_iota(
+        jnp.int32, (Lv, n_cells, cell_size * cell_size), 2)
+    tops, idxs = [], []
+    work = cells
+    for _ in range(k_cell):
+        m = jnp.max(work, axis=2)
+        am = jnp.argmax(work, axis=2).astype(jnp.int32)
+        tops.append(m)
+        idxs.append(am)
+        work = jnp.where(pos == am[:, :, None], 0.0, work)
+    cell_top = jnp.stack(tops, axis=2)   # [L, nc, k]
+    cell_idx = jnp.stack(idxs, axis=2)
 
     cid = jnp.arange(n_cells)[None, :, None]
     cy, cx = cid // nCx, cid % nCx

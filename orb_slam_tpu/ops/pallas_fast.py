@@ -1,18 +1,21 @@
-"""Pallas TPU kernel: fused FAST-9/16 score + 3x3 NMS over the level stack.
+"""Pallas TPU kernel: fused FAST-9/16 score over the level stack.
 
-One kernel instance per pyramid level (grid=(L,)): the level image loads
-into VMEM once; the 16-offset segment test, arc min/max reduction, score
-and non-max suppression all happen in-register/VMEM without ever
-materializing the [16, H, W] difference planes in HBM (the XLA version's
-main bandwidth cost) — and the whole detection collapses to ONE device op.
+One kernel instance per pyramid level (grid=(L,)): the (pre-padded) level
+image loads into VMEM once; the 16-offset segment test and arc min/max
+reduction happen entirely in VMEM without materializing the [16, H, W]
+difference planes in HBM (the XLA version's main bandwidth cost), and the
+whole stencil collapses to ONE device op.
 
-Memory budget per instance (512x640 level): image 1.25 MB + score/NMS
-buffers ~4 MB << 16 MB VMEM.
+Mosaic constraints honored: the image arrives PRE-PADDED (edge-mode pad
+lowers to concats Mosaic rejects); all slices are static; the cheap 3x3
+NMS stays outside in XLA (reduce_window).
 
-Algorithm (identical semantics to ops/fast.fast_score_map + nms3x3):
-  score(p) = max over the 16 circular 9-arcs of
-             min_{j in arc} (bright: I_j - I_p | dark: I_p - I_j)
-  keep(p)  = score(p) >= max 3x3 neighborhood."""
+Memory budget per instance (518x646 padded level): image 1.3 MB + a few
+[H, W] f32 temporaries << 16 MB VMEM.
+
+score(p) = max over the 16 circular 9-arcs of
+           min_{j in arc} (bright: I_j - I_p | dark: I_p - I_j)
+— identical semantics to ops/fast_stack.fast_score_stack."""
 
 from __future__ import annotations
 
@@ -26,71 +29,60 @@ from jax.experimental import pallas as pl
 from orb_slam_tpu.ops.fast import FAST_CIRCLE
 
 
-def _fast_nms_kernel(img_ref, score_ref, keep_ref):
-    img = img_ref[0]  # block [1, H, W] -> [H, W] f32 in VMEM
-    H, W = img.shape
+def _make_fast_kernel(BH: int, W: int):
+    def kernel(padded_ref, score_ref):
+        # padded_ref block: [1, H+6, W+6] (whole level); this instance
+        # computes rows [rb*BH, rb*BH + BH)
+        rb = pl.program_id(1)
+        row0 = rb * BH
+        window = padded_ref[0, pl.ds(row0, BH + 6), :]  # [BH+6, W+6]
+        img = window[3:3 + BH, 3:3 + W]
 
-    # neighbor planes via static shifted slices of an edge-padded image
-    padded = jnp.pad(img, 3, mode="edge")
+        def neighbor(k):
+            dy, dx = int(FAST_CIRCLE[k][0]), int(FAST_CIRCLE[k][1])
+            return window[3 + dy: 3 + dy + BH, 3 + dx: 3 + dx + W]
 
-    def neighbor(k):
-        # static slices: Mosaic TPU lowering has no dynamic_slice
-        dy, dx = int(FAST_CIRCLE[k][0]), int(FAST_CIRCLE[k][1])
-        return padded[3 + dy: 3 + dy + H, 3 + dx: 3 + dx + W]
+        # VMEM-lean sequential arcs (a log-depth tree keeps ~80 temporaries
+        # live and spills out of VMEM; recomputing neighbor slices keeps ~6)
+        score = None
+        for s in range(16):
+            d0 = neighbor(s) - img
+            mb = d0
+            md = -d0
+            for j in range(1, 9):
+                d = neighbor((s + j) % 16) - img
+                mb = jnp.minimum(mb, d)
+                md = jnp.minimum(md, -d)
+            arc = jnp.maximum(mb, md)
+            score = arc if score is None else jnp.maximum(score, arc)
+        score_ref[0] = score
 
-    diffs = [neighbor(k) - img for k in range(16)]
-
-    # run-of-9 min (bright) / max (dark) over circular windows:
-    # log-depth tree per start via precombined pairs
-    def run9(op, xs):
-        # r2[k] = op(x[k], x[k+1]) ... circular
-        r2 = [op(xs[k], xs[(k + 1) % 16]) for k in range(16)]
-        r4 = [op(r2[k], r2[(k + 2) % 16]) for k in range(16)]
-        r8 = [op(r4[k], r4[(k + 4) % 16]) for k in range(16)]
-        r9 = [op(r8[k], xs[(k + 8) % 16]) for k in range(16)]
-        out = r9[0]
-        for k in range(1, 16):
-            out = jnp.maximum(out, r9[k]) if op is jnp.minimum else jnp.minimum(out, r9[k])
-        return out
-
-    bright = run9(jnp.minimum, diffs)          # max over arcs of arc-min
-    dark = -run9(jnp.maximum, diffs)           # symmetric
-    score = jnp.maximum(bright, dark)
-    # (no border zeroing here: selection masks a >=16px border anyway,
-    # keeping exact parity with ops/fast_stack.fast_score_stack)
-
-    # 3x3 NMS via shifted maxima
-    spad = jnp.pad(score, 1, mode="constant", constant_values=-jnp.inf)
-    mx = score
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            mx = jnp.maximum(mx, spad[1 + dy: 1 + dy + H, 1 + dx: 1 + dx + W])
-    score_ref[0] = score
-    keep_ref[0] = (score >= mx).astype(jnp.float32)
+    return kernel
 
 
 @partial(jax.jit, static_argnames=("interpret",))
 def fast_score_nms_pallas(stack, interpret: bool = False):
     """stack: [L, H, W] f32 -> (score [L, H, W] f32, keep [L, H, W] bool).
-    Set interpret=True on CPU (tests)."""
+    Score via the fused Pallas kernel (row-tiled grid to bound VMEM);
+    NMS via XLA reduce_window."""
     L, H, W = stack.shape
-    score, keep = pl.pallas_call(
-        _fast_nms_kernel,
-        grid=(L,),
-        in_specs=[pl.BlockSpec((1, H, W), lambda l: (l, 0, 0))],
-        out_specs=(
-            pl.BlockSpec((1, H, W), lambda l: (l, 0, 0)),
-            pl.BlockSpec((1, H, W), lambda l: (l, 0, 0)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((L, H, W), jnp.float32),
-            jax.ShapeDtypeStruct((L, H, W), jnp.float32),
-        ),
+    BH = 48 if H % 48 == 0 else (40 if H % 40 == 0 else 32)
+    pad_h = (-H) % BH
+    padded = jnp.pad(stack, ((0, 0), (3, 3 + pad_h), (3, 3)), mode="edge")
+    Hp = H + pad_h
+    n_rb = Hp // BH
+    score = pl.pallas_call(
+        _make_fast_kernel(BH, W),
+        grid=(L, n_rb),
+        in_specs=[pl.BlockSpec((1, Hp + 6, W + 6), lambda l, rb: (l, 0, 0))],
+        out_specs=pl.BlockSpec((1, BH, W), lambda l, rb: (l, rb, 0)),
+        out_shape=jax.ShapeDtypeStruct((L, Hp, W), jnp.float32),
         interpret=interpret,
-    )(stack)
-    return score, keep > 0.5
+    )(padded)
+    score = score[:, :H, :]
+    mx = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (1, 3, 3), (1, 1, 1), "SAME")
+    return score, score >= mx
 
 
 def default_interpret() -> bool:
