@@ -80,9 +80,10 @@ def main():
     step = jax.jit(dispatch_fused(_step))
 
     T0 = jnp.eye(4)
-    # force input residency, then warmup / compile
+    # force input residency (float() round-trips; block_until_ready does
+    # not force uploads on the remote runtime), then warmup / compile
     for img in images:
-        jnp.sum(img).block_until_ready()
+        float(jnp.sum(img))
     for i in range(N_WARM):
         float(jnp.sum(step(m, images[N_ITERS + i], T0)))
 

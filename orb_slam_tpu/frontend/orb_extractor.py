@@ -123,7 +123,10 @@ class ORBExtractor:
         self.config = config
         self.stacked = stacked
         if use_pallas is None:
-            use_pallas = jax.default_backend() in ("tpu", "axon")
+            # the fused Pallas kernel is validated and VMEM-bounded, but on
+            # the current remote runtime its per-grid-instance overhead
+            # (160 row-block launches) loses to the XLA stencil; default off
+            use_pallas = False
         self.use_pallas = use_pallas
         self._jitted = {}
 

@@ -66,7 +66,7 @@ def fast_score_nms_pallas(stack, interpret: bool = False):
     Score via the fused Pallas kernel (row-tiled grid to bound VMEM);
     NMS via XLA reduce_window."""
     L, H, W = stack.shape
-    BH = 48 if H % 48 == 0 else (40 if H % 40 == 0 else 32)
+    BH = 24 if H % 24 == 0 else (20 if H % 20 == 0 else 16)
     pad_h = (-H) % BH
     padded = jnp.pad(stack, ((0, 0), (3, 3 + pad_h), (3, 3)), mode="edge")
     Hp = H + pad_h
