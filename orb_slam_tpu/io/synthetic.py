@@ -123,27 +123,50 @@ class SyntheticScene:
         return out
 
     def render_image(self, T_cw, patch=5):
-        """Rasterize bright square billboards onto a textured background —
-        enough structure for the real FAST/rBRIEF frontend."""
+        """Rasterize textured square billboards onto a textured background.
+
+        Each billboard carries a UNIQUE deterministic texture (seeded by its
+        point id) so rBRIEF descriptors are distinctive across the scene —
+        flat uniform squares all look alike and the matcher's ratio test
+        correctly rejects them as ambiguous."""
         rng_local = np.random.default_rng(123)
         img = rng_local.uniform(30, 60, (self.height, self.width)).astype(np.float32)
         R, t = T_cw[:3, :3], T_cw[:3, 3]
         pc = self.points @ R.T + t
         z = pc[:, 2]
         order = np.argsort(-z)  # far first (painter's algorithm)
-        brightness = 120 + (np.arange(self.n_points) * 53) % 130
         for i in order:
             if z[i] < 0.5:
                 continue
             u = self.fx * pc[i, 0] / z[i] + self.cx
             v = self.fy * pc[i, 1] / z[i] + self.cy
-            s = max(2, int(round(patch * 6.0 / z[i])))
+            s = max(3, int(round(patch * 6.0 / z[i])))
             x0, y0 = int(round(u)) - s, int(round(v)) - s
             x1, y1 = x0 + 2 * s, y0 + 2 * s
             if x1 < 0 or y1 < 0 or x0 >= self.width or y0 >= self.height:
                 continue
-            img[max(0, y0):y1, max(0, x0):x1] = brightness[i]
-        return img
+            # unique per-blob texture, rendered at the blob's current size
+            # (coarse 4x4 pattern upsampled -> scale-tolerant appearance)
+            rng_i = np.random.default_rng(1000 + i)
+            base = rng_i.uniform(80, 255, (4, 4)).astype(np.float32)
+            tex = np.kron(base, np.ones((max(1, s // 2), max(1, s // 2)),
+                                        np.float32))
+            tex = tex[: 2 * s, : 2 * s]
+            th, tw = tex.shape
+            ys0, xs0 = max(0, y0), max(0, x0)
+            ys1 = min(self.height, y0 + th)
+            xs1 = min(self.width, x0 + tw)
+            if ys1 <= ys0 or xs1 <= xs0:
+                continue
+            img[ys0:ys1, xs0:xs1] = tex[ys0 - y0: ys1 - y0, xs0 - x0: xs1 - x0]
+        # soften block edges: raw nearest-neighbor texture is aliased and
+        # descriptor bits flip under sub-pixel viewpoint shifts
+        k = np.array([0.25, 0.5, 0.25], np.float32)
+        p = np.pad(img, ((1, 1), (0, 0)), mode="edge")
+        img = k[0] * p[:-2] + k[1] * p[1:-1] + k[2] * p[2:]
+        p = np.pad(img, ((0, 0), (1, 1)), mode="edge")
+        img = k[0] * p[:, :-2] + k[1] * p[:, 1:-1] + k[2] * p[:, 2:]
+        return img.astype(np.float32)
 
 
 def lateral_trajectory(n_frames, step=0.08, yaw_rate=0.0):
