@@ -66,9 +66,9 @@ def main():
 
     from orb_slam_tpu.utils.timing import dispatch_fused
 
-    def _step(m, img, T_pred):
+    def _step(m, img, T_pred, pyr_consts):
         """The whole frame: extraction + undistortion + tracking."""
-        feats = _extract_stacked(img, config=extractor.config)
+        feats = _extract_stacked(img, pyr_consts, config=extractor.config)
         xy_und = undistort_points(cam, feats.xy)
         res = track_frame(
             m, xy_und, feats.desc_u32, feats.octave, feats.valid,
@@ -84,11 +84,12 @@ def main():
     # not force uploads on the remote runtime), then warmup / compile
     for img in images:
         float(jnp.sum(img))
+    consts = extractor.pyramid_consts((H, W))
     for i in range(N_WARM):
-        float(jnp.sum(step(m, images[N_ITERS + i], T0)))
+        float(jnp.sum(step(m, images[N_ITERS + i], T0, consts)))
 
     t0 = time.perf_counter()
-    outs = [step(m, images[i], T0) for i in range(N_ITERS)]
+    outs = [step(m, images[i], T0, consts) for i in range(N_ITERS)]
     float(sum(jnp.sum(o) for o in outs))  # force every result
     dt = (time.perf_counter() - t0) / N_ITERS
     fps = 1.0 / dt

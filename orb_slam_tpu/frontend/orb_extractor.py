@@ -130,6 +130,19 @@ class ORBExtractor:
         self.use_pallas = use_pallas
         self._jitted = {}
 
+    def pyramid_consts(self, shape):
+        """Device-resident bilinear matrices, passed as ARGUMENTS (closure
+        constants are re-hashed per call on the target runtime)."""
+        if not hasattr(self, "_consts"):
+            self._consts = {}
+        if shape not in self._consts:
+            from orb_slam_tpu.ops.fast_stack import pyramid_matrices
+            Rp, Cp = pyramid_matrices(shape[0], shape[1],
+                                      self.config.n_levels,
+                                      self.config.scale_factor)
+            self._consts[shape] = (jnp.asarray(Rp), jnp.asarray(Cp))
+        return self._consts[shape]
+
     def __call__(self, img) -> ORBFeatures:
         """img: [H, W] float32 grayscale in [0,255] (device array)."""
         shape = tuple(img.shape)
@@ -138,12 +151,12 @@ class ORBExtractor:
                 fn = partial(_extract_stacked, config=self.config,
                              use_pallas=self.use_pallas)
             else:
-                fn = partial(_extract, config=self.config)
+                fn = lambda im, consts: _extract(im, config=self.config)
             self._jitted[shape] = jax.jit(fn)
-        return self._jitted[shape](img)
+        return self._jitted[shape](img, self.pyramid_consts(shape))
 
 
-def _extract_stacked(img, *, config: ORBConfig,
+def _extract_stacked(img, pyr_consts=None, *, config: ORBConfig,
                      use_pallas: bool = False) -> ORBFeatures:
     from orb_slam_tpu.ops.fast_stack import (
         build_pyramid_stack, detect_keypoints_stack,
@@ -154,7 +167,7 @@ def _extract_stacked(img, *, config: ORBConfig,
     quotas = tuple(config.level_quotas())
     scales = config.scale_factors()
     stack, shapes = build_pyramid_stack(
-        img, config.n_levels, config.scale_factor)
+        img, config.n_levels, config.scale_factor, consts=pyr_consts)
     shapes_t = tuple(shapes)
 
     detect = (

@@ -36,7 +36,29 @@ def _bilinear_matrix(n_in: int, n_out: int) -> np.ndarray:
     return M
 
 
-def build_pyramid_stack(img, n_levels: int, scale_factor: float):
+def pyramid_matrices(height: int, width: int, n_levels: int,
+                     scale_factor: float):
+    """Precompute the zero-padded level-0->level-l bilinear matrices as
+    numpy arrays (callers upload once and pass them as ARGUMENTS: on the
+    target runtime, jit closure constants are re-hashed per call — a 3.5 MB
+    constant costs ~10 ms/frame; an argument costs nothing)."""
+    shapes = pyramid_shapes(height, width, n_levels, scale_factor)
+    Rs, Cs = [np.eye(height, dtype=np.float32)], [np.eye(width, dtype=np.float32)]
+    for lvl in range(1, n_levels):
+        h0, w0 = shapes[lvl - 1]
+        h1, w1 = shapes[lvl]
+        Rs.append(_bilinear_matrix(h0, h1) @ Rs[-1])
+        Cs.append(_bilinear_matrix(w0, w1) @ Cs[-1])
+    Rp = np.zeros((n_levels - 1, height, height), np.float32)
+    Cp = np.zeros((n_levels - 1, width, width), np.float32)
+    for lvl in range(1, n_levels):
+        Rp[lvl - 1, : Rs[lvl].shape[0]] = Rs[lvl]
+        Cp[lvl - 1, : Cs[lvl].shape[0]] = Cs[lvl]
+    return Rp.astype(np.float32), Cp.astype(np.float32)
+
+
+def build_pyramid_stack(img, n_levels: int, scale_factor: float,
+                        consts=None):
     """Successive bilinear downscale packed into a [L, H, W] canvas
     (levels occupy [:h_l, :w_l]; the rest is zero). Returns (stack,
     shapes list).
@@ -49,33 +71,25 @@ def build_pyramid_stack(img, n_levels: int, scale_factor: float):
     runtime; jax.image.resize additionally lowers to slow gathers)."""
     H, W = img.shape
     shapes = pyramid_shapes(H, W, n_levels, scale_factor)
-    # Compose successive-step bilinear matrices so level l's matrix maps
-    # level 0 -> level l exactly as repeated resizing would, THEN zero-pad
-    # each matrix to canvas size: the whole pyramid (including its zero
-    # canvas padding) becomes TWO batched bf16 matmuls — no pads, no
-    # concats, no serial level chain (all measured pathologically slow on
-    # the target runtime; f32 matmuls are ~40x slower than bf16 there).
-    Rs, Cs = [np.eye(H, dtype=np.float32)], [np.eye(W, dtype=np.float32)]
-    for lvl in range(1, n_levels):
-        h0, w0 = shapes[lvl - 1]
-        h1, w1 = shapes[lvl]
-        Rs.append(_bilinear_matrix(h0, h1) @ Rs[-1])
-        Cs.append(_bilinear_matrix(w0, w1) @ Cs[-1])
-    Rp = np.zeros((n_levels - 1, H, H), np.float32)
-    Cp = np.zeros((n_levels - 1, W, W), np.float32)
-    for lvl in range(1, n_levels):
-        Rp[lvl - 1, : Rs[lvl].shape[0]] = Rs[lvl]
-        Cp[lvl - 1, : Cs[lvl].shape[0]] = Cs[lvl]
+    # The whole pyramid (including its zero canvas padding) is TWO batched
+    # bf16 matmuls — no pads, no concats, no serial level chain (all
+    # measured pathologically slow on the target runtime; f32 matmuls are
+    # ~40x slower than bf16 there).
     # bf16 weights with f32 accumulation: the interpolation weights carry
     # <= 2^-8 relative error -> intensity error <~0.5/255, far below the
     # FAST thresholds (the exact per-level extractor remains the oracle).
     # Level 0 bypasses the matmul entirely (bit-exact original image).
+    if consts is None:
+        consts = pyramid_matrices(H, W, n_levels, scale_factor)
+    Rp, Cp = consts
     rows = jnp.einsum(
-        "lab,bw->law", jnp.asarray(Rp, jnp.bfloat16), img.astype(jnp.bfloat16),
+        "lab,bw->law", jnp.asarray(Rp).astype(jnp.bfloat16),
+        img.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )  # [L-1, H, W]
     rest = jnp.einsum(
-        "law,lvw->lav", rows.astype(jnp.bfloat16), jnp.asarray(Cp, jnp.bfloat16),
+        "law,lvw->lav", rows.astype(jnp.bfloat16),
+        jnp.asarray(Cp).astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )  # [L-1, H, W]
     stack = jnp.concatenate([img[None], rest], axis=0)

@@ -116,16 +116,21 @@ class SLAMSystem:
             from orb_slam_tpu.frontend.orb_extractor import (
                 _extract_stacked, _extract,
             )
-            impl = _extract_stacked if self.extractor.stacked else _extract
             cam = self.cfg.camera
-
-            def fn(img):
-                feats = impl(img, config=self.cfg.orb)
-                xy_und = undistort_points(cam, feats.xy)
-                return feats, xy_und
+            if self.extractor.stacked:
+                def fn(img, consts):
+                    feats = _extract_stacked(img, consts, config=self.cfg.orb)
+                    xy_und = undistort_points(cam, feats.xy)
+                    return feats, xy_und
+            else:
+                def fn(img, consts):
+                    feats = _extract(img, config=self.cfg.orb)
+                    xy_und = undistort_points(cam, feats.xy)
+                    return feats, xy_und
 
             self._frontend_jit = fused_jit(fn)
-        return self._frontend_jit(gray)
+        return self._frontend_jit(
+            gray, self.extractor.pyramid_consts(tuple(gray.shape)))
 
     # ------------------------------------------------------------------ setup
 
