@@ -626,7 +626,7 @@ class SLAMSystem:
             red, n_bound = keyframe_redundancy(m, nb)
             if float(red) > cfg.kf_cull_redundancy and int(n_bound) > 20:
                 m = remove_keyframe(m, nb)
-                self._repair_spanning_tree(m, nb)
+                m = self._repair_spanning_tree(m, nb)
                 self.free_kf.append(nb)
                 self.kf_order[nb] = -1
                 if self.db is not None:
@@ -649,16 +649,35 @@ class SLAMSystem:
         self.free_pt = [int(i) for i in np.where(~valid)[0]]
 
     def _repair_spanning_tree(self, m: MapState, removed_kf: int):
-        """Children of a culled KF re-parent to its parent (simplified form
-        of the reference's candidate-parent loop, KeyFrame.cc:497-588)."""
+        """Re-parent the children of a culled keyframe with the reference's
+        greedy candidate loop (KeyFrame::SetBadFlag, KeyFrame.cc:497-588):
+        candidates start as {old parent}; repeatedly attach the child with
+        the strongest covisibility link to any candidate, promoting it to a
+        candidate; leftovers fall back to the old parent. Inherently
+        sequential -> host-side (SURVEY.md §7 hard-part 1)."""
         parent = int(m.spanning_parent[removed_kf])
         sp = np.asarray(m.spanning_parent)
-        children = np.where(sp == removed_kf)[0]
-        if len(children):
-            spn = m.spanning_parent
-            for c in children:
-                spn = spn.at[int(c)].set(parent)
-            self.map = m._replace(spanning_parent=spn)
+        children = set(int(c) for c in np.where(sp == removed_kf)[0])
+        if not children:
+            return m
+        spn = np.array(sp)
+        if parent >= 0:
+            W = np.asarray(covisibility_weights(m))
+            candidates = {parent}
+            while children:
+                best_w, best_child, best_parent = 0, -1, -1
+                for c in children:
+                    for p in candidates:
+                        if W[c, p] > best_w:
+                            best_w, best_child, best_parent = W[c, p], c, p
+                if best_child < 0:
+                    break  # no covisibility link left; fall back below
+                spn[best_child] = best_parent
+                candidates.add(best_child)
+                children.remove(best_child)
+        for c in children:
+            spn[c] = parent
+        return m._replace(spanning_parent=jnp.asarray(spn))
 
     # ------------------------------------------------------------------ output
 
