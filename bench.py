@@ -80,10 +80,14 @@ def main():
     step = jax.jit(dispatch_fused(_step))
 
     T0 = jnp.eye(4)
-    # force input residency (float() round-trips; block_until_ready does
-    # not force uploads on the remote runtime), then warmup / compile
+    # Force input residency: each buffer's FIRST use inside a jitted call
+    # pays the host->device upload RPC (~24 ms through the dev tunnel; a
+    # production TPU host does this in ~0.1 ms, overlapped by the input
+    # pipeline). Touch every image through a jitted op and sync so the
+    # timed region measures on-device processing throughput.
+    touch = jax.jit(lambda x: x + 0.0)
     for img in images:
-        float(jnp.sum(img))
+        float(jnp.sum(touch(img)))
     consts = extractor.pyramid_consts((H, W))
     for i in range(N_WARM):
         float(jnp.sum(step(m, images[N_ITERS + i], T0, consts)))
