@@ -31,6 +31,56 @@ from orb_slam_tpu.geometry.sim3 import sim3_compose, sim3_inverse
 from orb_slam_tpu.pipeline.mapping_kernels import fuse_into_keyframe
 
 
+from orb_slam_tpu.utils.dispatch import fused_jit
+
+
+@fused_jit
+def search_by_sim3(state, kf1, kf2, s, R, t, K_mat, radius: float = 7.5):
+    """Guided Sim3 matching (replaces ORBmatcher::SearchBySim3,
+    src/ORBmatcher.cc:1267-1505): transform each keyframe's bound map
+    points into the OTHER camera through S12 / S21, gate by projection
+    radius, Hamming-match, and demand mutual agreement.
+
+    Returns (idx2_of_1 [N] i32, ok [N] bool): for each feature of kf1, the
+    agreed feature index in kf2."""
+    P = state.pt_valid.shape[0]
+    pid1 = state.kf_obs[kf1]
+    pid2 = state.kf_obs[kf2]
+    b1 = (pid1 >= 0) & state.pt_valid[jnp.clip(pid1, 0, P - 1)]
+    b2 = (pid2 >= 0) & state.pt_valid[jnp.clip(pid2, 0, P - 1)]
+    T1 = state.kf_pose[kf1]
+    T2 = state.kf_pose[kf2]
+    x1 = state.pt_pos[jnp.clip(pid1, 0, P - 1)]
+    x2 = state.pt_pos[jnp.clip(pid2, 0, P - 1)]
+    # camera-frame coords
+    c1 = x1 @ T1[:3, :3].T + T1[:3, 3]
+    c2 = x2 @ T2[:3, :3].T + T2[:3, 3]
+    # S12: p1 = s R p2 + t ; S21 = inverse
+    c2_in1 = s * c2 @ R.T + t
+    Rt = R.T
+    c1_in2 = (1.0 / s) * (c1 - t) @ R
+
+    def proj(p):
+        z = jnp.where(jnp.abs(p[:, 2]) < 1e-9, 1e-9, p[:, 2])
+        return jnp.stack([K_mat[0, 0] * p[:, 0] / z + K_mat[0, 2],
+                          K_mat[1, 1] * p[:, 1] / z + K_mat[1, 2]], -1), p[:, 2]
+
+    uv2_in1, z21 = proj(c2_in1)   # kf2 points in image 1
+    uv1_in2, z12 = proj(c1_in2)   # kf1 points in image 2
+    xy1 = state.kf_xy[kf1]
+    xy2 = state.kf_xy[kf2]
+    d_a = xy1[:, None, :] - uv2_in1[None, :, :]   # feature_i vs point_j
+    d_b = uv1_in2[:, None, :] - xy2[None, :, :]   # point_i vs feature_j
+    gate = (jnp.sum(d_a * d_a, -1) < radius * radius) & (z21 > 0)[None, :]
+    gate &= (jnp.sum(d_b * d_b, -1) < radius * radius) & (z12 > 0)[:, None]
+    idx, dist, ok = match(
+        state.kf_desc[kf1], state.kf_desc[kf2], allowed=gate,
+        valid_a=b1, valid_b=b2, max_dist=TH_LOW, nn_ratio=1.0,
+        mutual=True, unique=True,
+    )
+    return idx, ok
+
+
 class LoopCloser:
     def __init__(self, db: KeyFrameDatabase, cfg, rng_key=None):
         self.db = db
@@ -136,9 +186,27 @@ class LoopCloser:
             self.debug_last["ransac_inl"] = int(n_in)
             if int(n_in) < 20:
                 continue
+
+            # guided SearchBySim3 (reference: LoopClosing.cc:341-345):
+            # gather additional matches under the RANSAC Sim3 before the
+            # final optimization
+            g_idx, g_ok = search_by_sim3(
+                m, new_kf, cand, s, R, t, system.K_dev)
+            idx2 = jnp.where(g_ok, g_idx, idx)
+            ok2 = (inl | g_ok)
+            pid_cand2 = m.kf_obs[cand][idx2]
+            ok2 = ok2 & (pid_cur >= 0) & (pid_cand2 >= 0)
+            pc2s = jnp.clip(pid_cand2, 0, P - 1)
+            ok2 = ok2 & m.pt_valid[pid_cur_s] & m.pt_valid[pc2s]
+            x_cand2 = m.pt_pos[pc2s]
+            p2m = x_cand2 @ T_cand[:3, :3].T + T_cand[:3, 3]
+            uv2m = m.kf_xy[cand][idx2]
+            oct2m = m.kf_octave[cand][idx2].astype(jnp.float32)
+            s2_2m = 1.2 ** (2.0 * oct2m)
+
             s, R, t, inl, n_in = optimize_sim3(
-                s, R, t, p1, p2, uv1, uv2, inl,
-                1.0 / s2_1, 1.0 / s2_2, system.K_dev)
+                s, R, t, p1, p2m, uv1, uv2m, ok2,
+                1.0 / s2_1, 1.0 / s2_2m, system.K_dev)
             if int(n_in) < 20:
                 continue
             return cand, (s, R, t), inl
