@@ -34,6 +34,9 @@ def cmd_run(args):
                       max_points=args.max_points,
                       n_features=orb.n_features),
         vocabulary=vocab,
+        use_motion_model=extras["use_motion_model"],
+        # reference: mMaxFrames = 18 * fps / 30 (Tracking.cc:78)
+        max_frames_between_kf=max(1, int(round(18 * extras["fps"] / 30.0))),
     )
     system = SLAMSystem(cfg)
     ds = PrefetchIterator(open_dataset(args.dataset))

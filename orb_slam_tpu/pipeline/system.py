@@ -72,6 +72,7 @@ class SlamConfig:
     vocabulary: object = None         # place.Vocabulary; auto-trained if None
     bow_slots: int = 500
     min_reloc_inliers: int = 50       # reference: Tracking.cc:948-995
+    use_motion_model: bool = True     # reference UseMotionModel setting
     seed: int = 0
 
     def __post_init__(self):
@@ -79,6 +80,8 @@ class SlamConfig:
             self.camera = CameraModel.create(500.0, 500.0, 320.0, 240.0)
         if self.map is None:
             self.map = MapConfig(n_features=self.orb.n_features)
+        # the tracking candidate pool cannot exceed the point capacity
+        self.p_local = min(self.p_local, self.map.max_points)
 
 
 class FrameData:
@@ -339,7 +342,12 @@ class SLAMSystem:
     def _track(self, frame: FrameData):
         """Fused motion-model + local-map tracking (SURVEY.md §3.2)."""
         cfg = self.cfg
-        T_pred = (self.velocity @ self.last_pose).astype(np.float32)
+        # UseMotionModel=0 tracks from the previous pose directly
+        # (the reference's TrackPreviousFrame path, Tracking.cc:228-234)
+        if cfg.use_motion_model:
+            T_pred = (self.velocity @ self.last_pose).astype(np.float32)
+        else:
+            T_pred = self.last_pose.astype(np.float32)
 
         res = track_frame(
             self.map, frame.xy, frame.desc, frame.octave, frame.valid,

@@ -1,0 +1,74 @@
+"""CLI smoke test: settings YAML -> image directory run -> trajectory file
+-> eval command."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+SETTINGS = """\
+%YAML:1.0
+Camera.fx: 260.0
+Camera.fy: 260.0
+Camera.cx: 160.0
+Camera.cy: 120.0
+Camera.k1: 0.0
+Camera.k2: 0.0
+Camera.p1: 0.0
+Camera.p2: 0.0
+Camera.fps: 30.0
+Camera.RGB: 1
+Camera.width: 320
+Camera.height: 240
+ORBextractor.nFeatures: 400
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 4
+ORBextractor.fastTh: 20
+ORBextractor.nScoreType: 1
+UseMotionModel: 1
+"""
+
+
+class TestCLI:
+    def test_run_and_eval(self, tmp_path, capsys):
+        from PIL import Image
+        from orb_slam_tpu.io.synthetic import SyntheticScene, lateral_trajectory
+        from orb_slam_tpu.io.trajectory import write_tum
+        from orb_slam_tpu.geometry import rot_to_quat, se3_inverse
+        import jax.numpy as jnp
+        from orb_slam_tpu import cli
+
+        scene = SyntheticScene(n_points=220, seed=21, width=320, height=240,
+                               fx=260.0, fy=260.0, cx=160.0, cy=120.0,
+                               extent=(7.0, 5.0, 3.0), depth_range=(5.5, 8.5))
+        poses = lateral_trajectory(12, step=0.12)
+        img_dir = tmp_path / "frames"
+        img_dir.mkdir()
+        for i in range(12):
+            img = scene.render_image(poses[i], patch=5)
+            Image.fromarray(img.astype(np.uint8)).save(
+                str(img_dir / f"{i:06d}.png"))
+        settings = tmp_path / "settings.yaml"
+        settings.write_text(SETTINGS)
+        out = tmp_path / "traj.txt"
+
+        cli.main(["run", str(settings), str(img_dir), "--out", str(out),
+                  "--max-keyframes", "16", "--max-points", "1024"])
+        assert out.exists()
+        rows = np.loadtxt(str(out))
+        assert rows.shape[0] >= 2 and rows.shape[1] == 8
+
+        # ground truth in TUM format, then eval
+        gt = tmp_path / "gt.txt"
+        gt_rows = []
+        for i in range(12):
+            T_wc = np.asarray(se3_inverse(jnp.asarray(poses[i])))
+            q = np.asarray(rot_to_quat(jnp.asarray(T_wc[:3, :3])))
+            gt_rows.append((i, T_wc[:3, 3], q))
+        write_tum(str(gt), gt_rows)
+        cli.main(["eval", str(out), str(gt), "--max-dt", "0.05"])
+        captured = capsys.readouterr().out.strip().splitlines()[-1]
+        result = json.loads(captured)
+        assert result["n_associated"] >= 2
+        assert result["ate_rmse"] < 1.0
