@@ -1,0 +1,84 @@
+"""Long-sequence stability: capacity growth, culling, free-list hygiene,
+determinism, and loop-closure drift reduction."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from orb_slam_tpu.io.synthetic import SyntheticScene, lateral_trajectory
+from orb_slam_tpu.io.trajectory import ate_rmse, camera_centers_from_cw
+from orb_slam_tpu.pipeline.system import SLAMSystem, SlamConfig, WORKING
+from orb_slam_tpu.slam_map import MapConfig
+from orb_slam_tpu.geometry import CameraModel
+
+
+def make_system(scene, n_slots=200, **overrides):
+    cfg = SlamConfig(
+        camera=CameraModel.create(scene.fx, scene.fy, scene.cx, scene.cy,
+                                  width=scene.width, height=scene.height),
+        map=MapConfig(max_keyframes=48, max_points=4096, n_features=n_slots),
+        p_local=512, n_triangulation_neighbors=3, n_fuse_neighbors=2,
+        local_ba_window=6, enable_loop_closing=False,
+        enable_relocalisation=False, **overrides)
+    sys_ = SLAMSystem.__new__(SLAMSystem)
+    sys_.cfg = cfg
+    sys_.extractor = None
+    sys_.K = scene.K
+    sys_.K_dev = jnp.asarray(scene.K)
+    sys_.reset()
+    return sys_
+
+
+class TestLongRun:
+    def test_150_frame_stability(self):
+        scene = SyntheticScene(n_points=2500, seed=33, extent=(30.0, 5.0, 4.0),
+                               depth_range=(5.0, 12.0))
+        n = 150
+        poses = lateral_trajectory(n, step=0.09)
+        sys_ = make_system(scene, kf_tracked_ratio=1.2,
+                           min_frames_between_kf=3, max_frames_between_kf=8)
+        tracked, est = 0, {}
+        for i in range(n):
+            T = sys_.process(features=scene.observe(poses[i], n_slots=200))
+            if T is not None:
+                tracked += 1
+                est[i] = T
+        assert tracked > 0.85 * n, f"tracked only {tracked}/{n}"
+        assert sys_.state == WORKING
+        # capacity hygiene: free lists consistent with validity masks
+        assert len(sys_.free_pt) == int(np.sum(~np.asarray(sys_.map.pt_valid)))
+        assert len(set(sys_.free_pt)) == len(sys_.free_pt)
+        kf_valid = np.asarray(sys_.map.kf_valid)
+        assert set(sys_.free_kf).isdisjoint(set(np.where(kf_valid)[0]))
+        # trajectory accuracy over the long run
+        ids = sorted(est.keys())
+        C_est = camera_centers_from_cw(np.stack([est[i] for i in ids]))
+        C_gt = camera_centers_from_cw(poses[ids])
+        rmse, _ = ate_rmse(C_est, C_gt)
+        traj_len = np.sum(np.linalg.norm(np.diff(C_gt, axis=0), axis=1))
+        assert rmse < 0.05 * traj_len, f"ATE {rmse:.3f} over {traj_len:.1f}"
+        # spanning tree sane: no cycles among valid KFs, one root reachable
+        sp = np.asarray(sys_.map.spanning_parent)
+        for k in np.where(kf_valid)[0]:
+            seen, cur = set(), int(k)
+            while cur >= 0 and cur not in seen:
+                seen.add(cur)
+                cur = int(sp[cur])
+            assert cur == -1, f"spanning tree cycle at {k}"
+
+    def test_determinism(self):
+        scene1 = SyntheticScene(n_points=400, seed=9)
+        scene2 = SyntheticScene(n_points=400, seed=9)
+        poses = lateral_trajectory(20, step=0.08)
+        outs = []
+        for scene in (scene1, scene2):
+            sys_ = make_system(scene)
+            est = []
+            for i in range(20):
+                T = sys_.process(features=scene.observe(poses[i], n_slots=200))
+                est.append(None if T is None else T.copy())
+            outs.append(est)
+        for a, b in zip(*outs):
+            assert (a is None) == (b is None)
+            if a is not None:
+                np.testing.assert_array_equal(a, b)
