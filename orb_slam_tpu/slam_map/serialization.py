@@ -34,7 +34,8 @@ def load_map(path: str):
 
 
 def save_session(path: str, system):
-    """Checkpoint a running SLAMSystem (map + host bookkeeping)."""
+    """Checkpoint a running SLAMSystem (map + host bookkeeping + place
+    recognition: vocabulary arrays and the keyframe BoW database)."""
     extra = {
         "kf_order": [int(x) for x in system.kf_order],
         "kf_counter": int(system.kf_counter),
@@ -49,14 +50,61 @@ def save_session(path: str, system):
             [int(fid), float(ts), np.asarray(T).tolist()]
             for fid, ts, T in system.trajectory
         ],
+        "n_loops_closed": int(getattr(system, "n_loops_closed", 0)),
     }
-    save_map(path, system.map, extra)
+    arrays = {f: np.asarray(getattr(system.map, f)) for f in system.map._fields}
+    if system.vocab is not None:
+        v = system.vocab
+        arrays.update({
+            "__voc_children__": v.children,
+            "__voc_desc__": v.node_desc,
+            "__voc_leaf__": v.is_leaf.astype(np.uint8),
+            "__voc_weight__": v.word_weight,
+            "__voc_level__": v.level_of_node,
+        })
+        extra["voc_kL"] = [int(v.k), int(v.L)]
+    if system.db is not None:
+        arrays["__db_ids__"] = np.asarray(system.db.bow_ids)
+        arrays["__db_w__"] = np.asarray(system.db.bow_w)
+        arrays["__db_active__"] = system.db.active.astype(np.uint8)
+    meta = json.dumps(extra)
+    np.savez_compressed(path, __meta__=np.frombuffer(meta.encode(), np.uint8),
+                        **arrays)
 
 
 def load_session(path: str, system):
     """Restore a checkpoint into an existing (configured) SLAMSystem."""
-    state, extra = load_map(path)
+    data = np.load(path)
+    extra = json.loads(bytes(data["__meta__"]).decode())
+    state = MapState(**{f: jnp.asarray(data[f]) for f in MapState._fields})
     system.map = state
+    if "__voc_children__" in data:
+        from orb_slam_tpu.place.vocabulary import Vocabulary
+        from orb_slam_tpu.place.database import KeyFrameDatabase
+        children = data["__voc_children__"]
+        is_leaf = data["__voc_leaf__"].astype(bool)
+        word_of_node = np.full(len(children), -1, np.int32)
+        leaves = np.where(is_leaf)[0]
+        word_of_node[leaves] = np.arange(len(leaves))
+        k, L = extra["voc_kL"]
+        system.vocab = Vocabulary(
+            children=children, node_desc=data["__voc_desc__"],
+            is_leaf=is_leaf, word_of_node=word_of_node,
+            node_of_word=leaves.astype(np.int32),
+            word_weight=data["__voc_weight__"],
+            level_of_node=data["__voc_level__"], k=k, L=L)
+        if "__db_ids__" in data:
+            db = KeyFrameDatabase(
+                system.vocab, data["__db_ids__"].shape[0],
+                data["__db_ids__"].shape[1])
+            db.bow_ids = jnp.asarray(data["__db_ids__"])
+            db.bow_w = jnp.asarray(data["__db_w__"])
+            db.active = data["__db_active__"].astype(bool)
+            system.db = db
+            if system.cfg.enable_loop_closing:
+                from orb_slam_tpu.pipeline.loop_closing import LoopCloser
+                system.loop_closer = LoopCloser(db, system.cfg)
+    system.n_loops_closed = extra.get("n_loops_closed", 0)
     system.kf_order = np.asarray(extra["kf_order"], np.int64)
     system.kf_counter = extra["kf_counter"]
     system.frame_id = extra["frame_id"]
