@@ -20,7 +20,6 @@ pyramid, 16-plane FAST stencil, NMS, top-k and descriptor gathers.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from functools import partial
 
@@ -29,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from orb_slam_tpu.ops.fast import detect_fast_keypoints
-from orb_slam_tpu.ops.image import build_pyramid, gaussian_blur, pyramid_shapes
+from orb_slam_tpu.ops.image import build_pyramid, gaussian_blur
 from orb_slam_tpu.ops.orb_descriptor import ic_angles, pack_u32, rbrief_descriptors
 
 

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from orb_slam_tpu.ops.orb_descriptor import (
-    _WX, _WY, _PAT, _RB_HALF, _RB_SIZE, HALF_PATCH, PATCH,
+    _WX, _WY, _PAT, _RB_HALF, _RB_SIZE, PATCH,
 )
 
 

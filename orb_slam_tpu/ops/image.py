@@ -6,7 +6,6 @@ src/ORBextractor.cc:743). Images are float32 [H, W] in [0, 255]."""
 
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax

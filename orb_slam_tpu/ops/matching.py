@@ -160,20 +160,22 @@ def match(
     return best_idx, best_dist, matched
 
 
-def window_gate(xy_a, xy_b, radius, octave_a=None, octave_b=None,
+def window_gate(xy_a, xy_b, radius, octave_b=None,
                 min_level=None, max_level=None, per_row_radius=False):
     """[N, M] gate: b within `radius` of a (optionally per-row radii) and
     octave band constraints (covers WindowSearch / SearchForInitialization /
-    coarse-to-fine previous-frame search, src/ORBmatcher.cc:409-713)."""
+    coarse-to-fine previous-frame search, src/ORBmatcher.cc:409-713).
+    min_level/max_level may be scalars or per-row [N] arrays."""
     d = xy_a[:, None, :] - xy_b[None, :, :]
     r = radius[:, None] if per_row_radius else radius
     gate = jnp.sum(d * d, axis=-1) <= r * r
+
+    def _per_row(v):
+        v = jnp.asarray(v)
+        return v[:, None] if v.ndim == 1 else v
+
     if octave_b is not None and min_level is not None:
-        gate &= octave_b[None, :] >= (
-            min_level[:, None] if hasattr(min_level, "shape") and getattr(min_level, "ndim", 0) else min_level
-        )
+        gate &= octave_b[None, :] >= _per_row(min_level)
     if octave_b is not None and max_level is not None:
-        gate &= octave_b[None, :] <= (
-            max_level[:, None] if hasattr(max_level, "shape") and getattr(max_level, "ndim", 0) else max_level
-        )
+        gate &= octave_b[None, :] <= _per_row(max_level)
     return gate

@@ -9,7 +9,6 @@ level image — no per-keypoint loops."""
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp
