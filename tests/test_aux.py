@@ -130,3 +130,36 @@ class TestTiming:
             pass
         s = t.summary()
         assert s["a"]["count"] == 2
+
+
+class TestDispatchFused:
+    def test_identical_results(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from orb_slam_tpu.utils.dispatch import fused_jit, dispatch_fused
+
+        def fn(x, y):
+            return jnp.sin(x) @ y + jnp.sum(x), x * 2
+
+        x = jnp.asarray(rng.normal(size=(16, 16)).astype(np.float32))
+        y = jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32))
+        a = jax.jit(fn)(x, y)
+        b = fused_jit(fn)(x, y)
+        for u, v in zip(a, b):
+            np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                       rtol=1e-6)
+
+    def test_static_argnames(self, rng):
+        import jax.numpy as jnp
+        from orb_slam_tpu.utils.dispatch import fused_jit
+
+        @fused_jit(static_argnames=("k",))
+        def topk(x, k: int):
+            import jax
+            return jax.lax.top_k(x, k)[0]
+
+        x = jnp.asarray(rng.normal(size=(32,)).astype(np.float32))
+        out = topk(x, k=4)
+        assert out.shape == (4,)
+        np.testing.assert_allclose(
+            np.asarray(out), np.sort(np.asarray(x))[::-1][:4], rtol=1e-6)

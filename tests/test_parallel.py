@@ -77,6 +77,45 @@ class TestShardedBA:
         assert np.median(err1) < np.median(err0) * 0.2
         np.testing.assert_array_equal(np.asarray(new_pose), poses)
 
+    def test_camera_optimization_psum(self, mesh, rng):
+        """Cameras optimized over sharded edges: the psum-reduced normal
+        equations must pull a perturbed camera back toward truth."""
+        from scipy.spatial.transform import Rotation as SR
+        Kk, O = 4, 4
+        d_data = mesh.shape["data"]
+        Pp = 32 * d_data
+        pts = np.stack([rng.uniform(-2, 2, Pp), rng.uniform(-1.5, 1.5, Pp),
+                        rng.uniform(5, 9, Pp)], 1).astype(np.float32)
+        K_mat = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]],
+                         np.float32)
+        poses = np.tile(np.eye(4, dtype=np.float32), (Kk, 1, 1))
+        for k in range(Kk):
+            poses[k][:3, 3] = [-0.3 * k, 0, 0]
+        edge_kf = rng.integers(0, Kk, (Pp, O)).astype(np.int32)
+        uv = np.zeros((Pp, O, 2), np.float32)
+        for p in range(Pp):
+            for o in range(O):
+                T = poses[edge_kf[p, o]]
+                pc = T[:3, :3] @ pts[p] + T[:3, 3]
+                uv[p, o] = [500 * pc[0] / pc[2] + 320,
+                            500 * pc[1] / pc[2] + 240]
+        poses_bad = poses.copy()
+        dR = SR.from_rotvec([0.01, -0.02, 0.01]).as_matrix().astype(np.float32)
+        poses_bad[2][:3, :3] = dR @ poses[2][:3, :3]
+        poses_bad[2][:3, 3] += [0.03, -0.02, 0.01]
+        cam_opt = np.zeros(Kk, bool); cam_opt[2] = True
+        step = sharded_ba_step(mesh, Kk)
+        cur_pose, cur_pts = jnp.asarray(poses_bad), jnp.asarray(pts)
+        for _ in range(4):
+            cur_pose, cur_pts = step(
+                cur_pose, cur_pts, jnp.asarray(edge_kf), jnp.asarray(uv),
+                jnp.ones((Pp, O), jnp.float32), jnp.asarray(cam_opt),
+                jnp.zeros(Pp, bool), jnp.asarray(K_mat))
+        err0 = np.abs(poses_bad[2] - poses[2]).max()
+        err1 = np.abs(np.asarray(cur_pose[2]) - poses[2]).max()
+        assert err1 < err0 * 0.05, (err0, err1)
+        np.testing.assert_array_equal(np.asarray(cur_pose[0]), poses[0])
+
 
 class TestGraftEntry:
     def test_entry_compiles(self):
