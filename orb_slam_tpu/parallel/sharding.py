@@ -150,7 +150,7 @@ def sharded_ba_step(mesh: Mesh, n_cams: int, damping: float = 1e-3):
             P(), P("data"), P("data"), P("data"), P("data"), P(), P("data"), P(),
         ),
         out_specs=(P(), P("data")),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -183,7 +183,7 @@ def sharded_hamming_argmin(mesh: Mesh):
         local, mesh=mesh,
         in_specs=(P("data"), P("model")),
         out_specs=(P("data"), P("data")),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -209,6 +209,6 @@ def sharded_ransac_best(mesh: Mesh):
         local, mesh=mesh,
         in_specs=(P("data"),),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
