@@ -181,26 +181,26 @@ def _extract_stacked(img, pyr_consts=None, *, config: ORBConfig,
 
     blurred = jnp.round(gaussian_blur_stack(stack))
 
-    # per-level orientation + descriptors: one-hot MXU patch extraction
-    # within each level's true region (static slices of the stack)
+    # orientation + descriptors for ALL levels in one batched pass
+    # (gather-as-matmul against the level canvases; ~12 large ops replace
+    # ~130 per-level ones — see ops/descriptor_stack.py)
+    from orb_slam_tpu.ops.descriptor_stack import ic_angles_batch, rbrief_batch
+
+    angle_l = ic_angles_batch(stack, xy_l, shapes_t)       # [L, Qmax]
+    desc_l = rbrief_batch(blurred, xy_l, angle_l, shapes_t)  # [L, Qmax, 32]
+
     Lv = config.n_levels
     parts = {k: [] for k in ("xy", "s", "v", "lvl", "ang", "desc")}
     for l in range(Lv):
         q = quotas[l]
         if q == 0:
             continue
-        h, w = shapes_t[l]
-        lvl_img = stack[l, :h, :w]
-        lvl_blur = blurred[l, :h, :w]
-        xy_lq = xy_l[l, :q]
-        ang = ic_angles(lvl_img, xy_lq)
-        desc = rbrief_descriptors(lvl_blur, xy_lq, ang)
-        parts["xy"].append(xy_lq)
+        parts["xy"].append(xy_l[l, :q])
         parts["s"].append(score_l[l, :q])
         parts["v"].append(valid_l[l, :q])
         parts["lvl"].append(jnp.full((q,), l, jnp.int32))
-        parts["ang"].append(ang)
-        parts["desc"].append(desc)
+        parts["ang"].append(angle_l[l, :q])
+        parts["desc"].append(desc_l[l, :q])
 
     xy = jnp.concatenate(parts["xy"])
     resp = jnp.concatenate(parts["s"])

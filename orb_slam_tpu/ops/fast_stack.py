@@ -100,29 +100,26 @@ def fast_score_stack(stack):
     """[L, H, W] -> [L, H, W] FAST scores (same math as fast_score_map,
     batched over the level axis).
 
-    List-style formulation: 16 neighbor planes as separate [L, H, W]
-    tensors and a log-depth min/max tree over Python lists — XLA fuses the
-    whole elementwise DAG without materializing the [L, 16, H, W] stack
-    (the roll-based variant moves ~0.5 GB of HBM per frame)."""
+    Roll-tree formulation over one [L, 16, H, W] tensor: 12 permutation
+    "rolls" along the tiny 16-axis + log-depth min/max. Measured faster
+    than an unrolled per-plane list DAG on the target runtime (the ~170
+    separate elementwise ops do not fuse there; the rolled tensor form is
+    ~14 large ops)."""
     L, H, W = stack.shape
     padded = jnp.pad(stack, ((0, 0), (3, 3), (3, 3)), mode="edge")
-    diffs = [
-        padded[:, 3 + dy: 3 + dy + H, 3 + dx: 3 + dx + W] - stack
-        for dy, dx in FAST_CIRCLE
-    ]
+    neigh = jnp.stack(
+        [padded[:, 3 + dy: 3 + dy + H, 3 + dx: 3 + dx + W]
+         for dy, dx in FAST_CIRCLE], 1)
+    D = neigh - stack[:, None]
 
-    def run9(op, sel):
-        r2 = [op(diffs[k], diffs[(k + 1) % 16]) for k in range(16)]
-        r4 = [op(r2[k], r2[(k + 2) % 16]) for k in range(16)]
-        r8 = [op(r4[k], r4[(k + 4) % 16]) for k in range(16)]
-        r9 = [op(r8[k], diffs[(k + 8) % 16]) for k in range(16)]
-        out = r9[0]
-        for k in range(1, 16):
-            out = sel(out, r9[k])
-        return out
+    def run9(op, x):
+        r2 = op(x, jnp.roll(x, -1, 1))
+        r4 = op(r2, jnp.roll(r2, -2, 1))
+        r8 = op(r4, jnp.roll(r4, -4, 1))
+        return op(r8, jnp.roll(x, -8, 1))
 
-    bright = run9(jnp.minimum, jnp.maximum)
-    dark = -run9(jnp.maximum, jnp.minimum)
+    bright = jnp.max(run9(jnp.minimum, D), 1)
+    dark = -jnp.min(run9(jnp.maximum, D), 1)
     return jnp.maximum(bright, dark)
 
 
