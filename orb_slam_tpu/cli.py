@@ -53,10 +53,17 @@ def cmd_run(args):
                 f"loops={system.n_loops_closed} fps={n / dt:.1f}",
                 file=sys.stderr,
             )
+        if args.viz_every and n % args.viz_every == 0:
+            from orb_slam_tpu.io.viz import draw_map
+            draw_map(system, args.viz_out)
         if args.max_frames and n >= args.max_frames:
             break
 
     write_tum(args.out, system.keyframe_trajectory(), fps=extras["fps"])
+    if args.viz_every:
+        from orb_slam_tpu.io.viz import draw_map
+        draw_map(system, args.viz_out)
+        print(f"wrote {args.viz_out}", file=sys.stderr)
     print(f"wrote {args.out} ({system.n_keyframes} keyframes)", file=sys.stderr)
 
 
@@ -86,6 +93,10 @@ def main(argv=None):
     r.add_argument("--max-frames", type=int, default=0)
     r.add_argument("--max-keyframes", type=int, default=256)
     r.add_argument("--max-points", type=int, default=16384)
+    r.add_argument("--viz-every", type=int, default=0,
+                   help="write a map plot every N frames (the reference's "
+                        "rviz MapPublisher refresh, MapPublisher.cc)")
+    r.add_argument("--viz-out", default="map.png")
     r.set_defaults(fn=cmd_run)
 
     e = sub.add_parser("eval", help="ATE RMSE vs ground truth (TUM format)")
