@@ -186,6 +186,57 @@ class SLAMSystem:
 
     # ------------------------------------------------------------------ entry
 
+    def process_batch(self, images, timestamps=None):
+        """Offline/throughput mode: extract a whole batch of frames in ONE
+        device program (vmapped extractor — extraction has no sequential
+        dependency), then track them in order. Returns a list of poses
+        (None where untracked). On directly-attached TPUs this amortizes
+        per-dispatch overhead B-fold; results are identical to calling
+        process() per frame."""
+        from functools import partial as _partial
+        from orb_slam_tpu.frontend.orb_extractor import _extract_stacked
+        from orb_slam_tpu.utils.dispatch import fused_jit
+
+        B = len(images)
+        if timestamps is None:
+            timestamps = [None] * B
+        gray = jnp.stack([to_grayscale(jnp.asarray(im)) for im in images])
+        shape = tuple(gray.shape[1:])
+        key = ("batch", shape, B)
+        if not hasattr(self, "_batch_jit"):
+            self._batch_jit = {}
+        if key not in self._batch_jit:
+            cam = self.cfg.camera
+
+            def fn(imgs, consts):
+                feats = jax.vmap(
+                    _partial(_extract_stacked, config=self.cfg.orb),
+                    in_axes=(0, None))(imgs, consts)
+                xy_und = undistort_points(cam, feats.xy)
+                return feats, xy_und
+
+            self._batch_jit[key] = fused_jit(fn)
+        feats, xy_und = self._batch_jit[key](
+            gray, self.extractor.pyramid_consts(shape))
+
+        poses = []
+        for b in range(B):
+            fb = jax.tree.map(lambda x: x[b], feats)
+            frame = FrameData(xy_und[b], fb.desc_u32, fb.octave, fb.angle,
+                              fb.valid, self.frame_id,
+                              timestamps[b] if timestamps[b] is not None
+                              else self.frame_id / 30.0)
+            self.frame_id += 1
+            if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
+                self._first_initialization(frame)
+                poses.append(None)
+            elif self.state == INITIALIZING:
+                ok = self._try_initialize(frame)
+                poses.append(self.last_pose.copy() if ok else None)
+            else:
+                poses.append(self._track(frame))
+        return poses
+
     def process(self, img=None, features=None, timestamp=None):
         """Process one frame; returns the tracked pose (numpy [4,4]) or
         None while not initialized / lost."""
