@@ -292,18 +292,21 @@ class LoopCloser:
         sp = np.asarray(m.spanning_parent)
         loop_edges_np = np.asarray(m.loop_edges)
         edges = set()
-        for k in range(K):
-            if not kf_valid[k]:
-                continue
-            p = sp[k]
-            if p >= 0 and kf_valid[p]:
-                edges.add((min(k, int(p)), max(k, int(p))))
-            for j in range(k + 1, K):
-                if kf_valid[j] and W_np2[k, j] >= 100:
-                    edges.add((k, j))
-            for le in loop_edges_np[k]:
-                if le >= 0 and kf_valid[le]:
-                    edges.add((min(k, int(le)), max(k, int(le))))
+        # spanning-tree edges
+        for k in np.where(kf_valid & (sp >= 0))[0]:
+            p = int(sp[k])
+            if kf_valid[p]:
+                edges.add((min(int(k), p), max(int(k), p)))
+        # strong covisibility edges (vectorized upper triangle)
+        strong = np.argwhere(np.triu(W_np2, 1) >= 100)
+        for a, b in strong:
+            if kf_valid[a] and kf_valid[b]:
+                edges.add((int(a), int(b)))
+        # recorded loop edges
+        for k, le in np.argwhere(loop_edges_np >= 0):
+            j = int(loop_edges_np[k, le])
+            if kf_valid[k] and kf_valid[j]:
+                edges.add((min(int(k), j), max(int(k), j)))
         edges.add((min(new_kf, cand), max(new_kf, cand)))
         edges = sorted(edges)
 
