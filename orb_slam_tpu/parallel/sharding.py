@@ -32,6 +32,12 @@ def make_mesh(n_devices: int | None = None, model_axis: int | None = None):
     """1- or 2-axis mesh ('data', 'model') over available devices."""
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise ValueError(
+            f"make_mesh: requested {n} devices but only {len(devs)} "
+            f"available on platform {devs[0].platform!r}; provision virtual "
+            f"devices (xla_force_host_platform_device_count) before jax "
+            f"backend init, as tests/conftest.py does")
     devs = devs[:n]
     if model_axis is None:
         model_axis = 2 if n % 2 == 0 and n >= 4 else 1
