@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 
 import numpy as np
 
@@ -80,7 +81,7 @@ class AsyncSLAMSystem(SLAMSystem):
         while not self._shutdown:
             if self._stop_requested.is_set():
                 self._stopped.set()
-                self._stop_requested.wait(0.02)
+                time.sleep(0.02)  # parked; the set event returns immediately
                 continue
             self._stopped.clear()
             try:

@@ -292,11 +292,23 @@ def fuse_into_keyframe(state: MapState, src_kf, dst_kf, K_mat,
         jnp.where(has_existing, winner, -1)
     )
     remap = remap_pad[:P]
+    killed = remap != jnp.arange(P)
+    # resolve chained merges transitively (remap[Y]=X while remap[X]=Z must
+    # send Y's observations to Z, not to the killed slot X): pointer-doubling,
+    # log2(P) gathers. Mutual-kill cycles (ties) collapse to identity and are
+    # cleared below.
+    n_doubling = max(P.bit_length(), 1)
+    for _ in range(n_doubling):
+        remap = remap[remap]
     # apply remap to all observations, kill losers
     obs_remapped = jnp.where(
         obs_all >= 0, remap[jnp.clip(obs_all, 0, P - 1)], -1
     )
-    killed = remap != jnp.arange(P)
+    # clear observations whose final target is itself killed (cycle case)
+    obs_remapped = jnp.where(
+        (obs_remapped >= 0) & killed[jnp.clip(obs_remapped, 0, P - 1)],
+        -1, obs_remapped,
+    )
     pt_valid = state.pt_valid & ~killed
 
     # inherit found/visible counters (Replace adds them to the winner)

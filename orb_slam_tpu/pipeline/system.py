@@ -70,9 +70,14 @@ class SlamConfig:
     enable_loop_closing: bool = True
     enable_relocalisation: bool = True
     vocabulary: object = None         # place.Vocabulary; auto-trained if None
-    bow_slots: int = 500
+    bow_slots: int = 0                # 0 = n_features (every word can be unique)
     min_reloc_inliers: int = 50       # reference: Tracking.cc:948-995
     use_motion_model: bool = True     # reference UseMotionModel setting
+    mapper_latency_frames: int = 0    # optional sequential-mode stand-in for
+                                      # the reference's AcceptKeyFrames
+                                      # backpressure (0 = mapper always idle,
+                                      # like an infinitely fast LocalMapping;
+                                      # async mode uses real idleness)
     seed: int = 0
 
     def __post_init__(self):
@@ -82,6 +87,10 @@ class SlamConfig:
             self.map = MapConfig(n_features=self.orb.n_features)
         # the tracking candidate pool cannot exceed the point capacity
         self.p_local = min(self.p_local, self.map.max_points)
+        if not self.bow_slots:
+            # every feature may land on a distinct word; fewer slots would
+            # silently drop BoW mass (advisor finding, round 1)
+            self.bow_slots = self.orb.n_features
 
 
 class FrameData:
@@ -349,7 +358,7 @@ class SLAMSystem:
         pt_opt = m.pt_valid
         m, outlier, (okf, ofeat) = bundle_adjust(
             m, self.K_dev, cam_opt, pt_opt, iters1=10, iters2=10)
-        m = apply_edge_outliers(m, outlier, okf, ofeat)
+        m = apply_edge_outliers(m, outlier, okf, ofeat, kill_starved=False)
         m = refresh_point_stats(m)
         self.map = m
 
@@ -454,9 +463,13 @@ class SLAMSystem:
         )
 
     def _mapper_accepting(self) -> bool:
-        """SetAcceptKeyFrames backpressure (LocalMapping.cc:507-517);
-        always true in sequential mode."""
-        return True
+        """SetAcceptKeyFrames backpressure (LocalMapping.cc:507-517). The
+        sequential pipeline runs the mapper to completion inside the frame
+        step, so the reference's 'busy' signal (which throttles c1b keyframe
+        creation for the several frames LocalMapping takes per KF) is modeled
+        as a fixed latency after each insertion."""
+        return (self.frame_id - self.last_kf_frame
+                >= self.cfg.mapper_latency_frames)
 
     def _need_new_keyframe(self, frame: FrameData, n_inliers: int) -> bool:
         """Reference policy c1a/c1b/c2 (src/Tracking.cc:625-663)."""
@@ -466,10 +479,17 @@ class SLAMSystem:
         since = frame.frame_id - self.last_kf_frame
         c1a = since >= cfg.max_frames_between_kf
         c1b = since >= cfg.min_frames_between_kf and self._mapper_accepting()
-        c2 = (
-            n_inliers < self.ref_kf_tracked * cfg.kf_tracked_ratio
-            and n_inliers > 15
-        )
+        # c2: tracking degraded vs the reference keyframe
+        # (Tracking.cc:650). The reference compares against the ref KF's
+        # LIVE bound-point count, which (given its ~90% re-match rate)
+        # fires when tracking drops ~10%; our dense one-pass tracker
+        # re-matches a smaller fraction of bound points, so the faithful
+        # analog is the at-creation inlier count. An absolute low-inlier
+        # clause densifies the map before tracking starves (the paper's
+        # insert-early/cull-later policy).
+        degraded = n_inliers < self.ref_kf_tracked * cfg.kf_tracked_ratio
+        starving = n_inliers < 2 * cfg.min_track_inliers
+        c2 = (degraded or starving) and n_inliers > 15
         return (c1a or c1b) and c2
 
     # ----------------------------------------------------------- local mapping
@@ -597,8 +617,12 @@ class SLAMSystem:
         first_order = np.where(first >= 0, self.kf_order[np.clip(first, 0, None)], -1)
         age = self.kf_counter - first_order
         valid = np.asarray(m.pt_valid)
+        # the found-ratio test only applies to RECENT points: the reference
+        # erases points from the culling candidate list once they survive
+        # ~3 KFs (LocalMapping.cc:175-203), so mature points that go
+        # temporarily unmatched (occlusion) are never ratio-culled
         kill = valid & (
-            (ratio < 0.25)
+            ((age <= 3) & (ratio < 0.25))
             | ((age >= 2) & (age <= 3) & (n_obs <= 2))
         )
         if kill.any():
@@ -677,6 +701,7 @@ class SLAMSystem:
             m, outlier, (okf, ofeat) = bundle_adjust(
                 m, self.K_dev, cam_opt, pt_opt, iters1=0, iters2=10)
             m = apply_edge_outliers(m, outlier, okf, ofeat)
+        self._reclaim_points(m)
 
         # --- KeyFrameCulling (LocalMapping.cc:524-578) ---
         for nb in neighbors[:5]:

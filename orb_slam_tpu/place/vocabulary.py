@@ -220,15 +220,17 @@ def bow_vector(words, weights_of_word, n_slots=None):
     ) & (w_sorted < big)
     # tf counts per unique word via segment trick
     uniq_rank = jnp.cumsum(first) - 1
-    ids_full = jnp.where(first, w_sorted, big)
-    # scatter tf-idf into compacted slots
-    slot = jnp.where(w_sorted < big, jnp.clip(uniq_rank, 0, W - 1), W)
+    # scatter tf-idf into compacted slots; unique words beyond W are DROPPED
+    # cleanly into the dump slot (not accumulated into slot W-1, which would
+    # corrupt both tf and id) and the L1 norm is taken over kept words only
+    in_range = (w_sorted < big) & (uniq_rank < W)
+    slot = jnp.where(in_range, uniq_rank, W)
     tf = jnp.zeros((W + 1,), jnp.float32).at[slot].add(
-        jnp.where(w_sorted < big, 1.0, 0.0)
+        jnp.where(in_range, 1.0, 0.0)
     )[:W]
     ids = jnp.full((W + 1,), big, jnp.int32).at[
-        jnp.where(first, jnp.clip(uniq_rank, 0, W - 1), W)
-    ].set(jnp.where(first, w_sorted, big))[:W]
+        jnp.where(first & in_range, uniq_rank, W)
+    ].set(jnp.where(first & in_range, w_sorted, big))[:W]
     wt = tf * jnp.where(
         ids < big, weights_of_word[jnp.clip(ids, 0, weights_of_word.shape[0] - 1)], 0.0
     )

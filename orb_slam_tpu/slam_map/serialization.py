@@ -51,7 +51,19 @@ def save_session(path: str, system):
             for fid, ts, T in system.trajectory
         ],
         "n_loops_closed": int(getattr(system, "n_loops_closed", 0)),
+        # RANSAC determinism + loop-closing cooldown/consistency state must
+        # survive resume (advisor finding, round 1)
+        "rng_key": np.asarray(system._rng).tolist(),
     }
+    if getattr(system, "loop_closer", None) is not None:
+        lc = system.loop_closer
+        extra["loop_state"] = {
+            "last_loop_kf_counter": int(lc.last_loop_kf_counter),
+            "consistent_groups": [
+                [sorted(int(k) for k in group), int(count)]
+                for group, count in lc.consistent_groups
+            ],
+        }
     arrays = {f: np.asarray(getattr(system.map, f)) for f in system.map._fields}
     if system.vocab is not None:
         v = system.vocab
@@ -105,6 +117,14 @@ def load_session(path: str, system):
                 from orb_slam_tpu.pipeline.loop_closing import LoopCloser
                 system.loop_closer = LoopCloser(db, system.cfg)
     system.n_loops_closed = extra.get("n_loops_closed", 0)
+    if "rng_key" in extra:
+        system._rng = jnp.asarray(np.asarray(extra["rng_key"], np.uint32))
+    if extra.get("loop_state") and getattr(system, "loop_closer", None) is not None:
+        ls = extra["loop_state"]
+        system.loop_closer.last_loop_kf_counter = ls["last_loop_kf_counter"]
+        system.loop_closer.consistent_groups = [
+            (set(group), count) for group, count in ls["consistent_groups"]
+        ]
     system.kf_order = np.asarray(extra["kf_order"], np.int64)
     system.kf_counter = extra["kf_counter"]
     system.frame_id = extra["frame_id"]

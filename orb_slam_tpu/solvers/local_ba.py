@@ -233,13 +233,33 @@ def bundle_adjust(
     return new_state, outlier, (obs_kf, obs_feat)
 
 
-@fused_jit
-def apply_edge_outliers(state: MapState, outlier, obs_kf, obs_feat) -> MapState:
+@partial(fused_jit, static_argnames=("kill_starved",))
+def apply_edge_outliers(state: MapState, outlier, obs_kf, obs_feat,
+                        kill_starved: bool = True) -> MapState:
     """Unbind observations flagged as BA outliers (reference erases the
-    observation both ways, Optimizer.cc:497-515)."""
+    observation both ways, Optimizer.cc:497-515).
+
+    kill_starved: a point that had an observation ejected and is left with
+    <= 2 observations dies entirely (MapPoint::EraseObservation ->
+    SetBadFlag, reference MapPoint.cc:93-103) — this is the reference's
+    cleanup path for MATURE bad points, which the age-gated MapPointCulling
+    no longer touches. False for the init global BA (the reference's
+    GlobalBundleAdjustemnt has no ejection step at all)."""
     Kk, N = state.kf_obs.shape
     rows = jnp.where(outlier, obs_kf, Kk)  # dump row
     cols = jnp.clip(obs_feat, 0, N - 1)
     obs = jnp.concatenate([state.kf_obs, jnp.full((1, N), -1, jnp.int32)], 0)
     obs = obs.at[rows, cols].set(jnp.where(outlier, -1, obs[rows, cols]))
-    return state._replace(kf_obs=obs[:Kk])
+    obs = obs[:Kk]
+    if not kill_starved:
+        return state._replace(kf_obs=obs)
+    P = state.pt_valid.shape[0]
+    remaining = jnp.zeros((P + 1,), jnp.int32).at[
+        jnp.where(obs >= 0, obs, P)
+    ].add((obs >= 0) & state.kf_valid[:, None])[:P]
+    had_ejection = jnp.any(outlier, axis=1)  # outlier rows are point slots
+    killed = state.pt_valid & had_ejection & (remaining <= 2)
+    obs = jnp.where(
+        (obs >= 0) & killed[jnp.clip(obs, 0, P - 1)], -1, obs
+    )
+    return state._replace(kf_obs=obs, pt_valid=state.pt_valid & ~killed)

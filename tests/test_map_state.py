@@ -163,3 +163,62 @@ class TestObservations:
         assert float(m.pt_min_dist[0]) < 5.0
         # untouched invalid points unchanged
         assert not bool(m.pt_valid[5])
+
+
+class TestFuseChainedMerges:
+    def test_transitive_remap_in_single_fuse(self, rng):
+        """Chained merges inside ONE fuse call (remap[Y]=X while remap[X]=Z)
+        must rebind Y's observations to the final winner Z, not to the
+        killed slot X (advisor finding, round 1)."""
+        from orb_slam_tpu.pipeline.mapping_kernels import fuse_into_keyframe
+
+        m = empty_map(CFG)
+        N = CFG.n_features
+        X, Y, Z = 10, 11, 12
+        A = np.zeros(8, np.uint32)              # descriptor for X / g0
+        B = np.full(8, 0xFFFFFFFF, np.uint32)   # descriptor for Y / g1
+
+        # src kf0: feature 0 -> X, feature 1 -> Y
+        obs0 = np.full(N, -1); obs0[0] = X; obs0[1] = Y
+        a0 = make_kf_args(rng, 0, obs0)
+        xy0 = np.asarray(a0["xy"]).copy()
+        xy0[0] = [320.0, 240.0]; xy0[1] = [321.0, 240.0]
+        a0["xy"] = jnp.asarray(xy0)
+        m = insert_keyframe(m, 0, **a0)
+        # dst kf1: feature 0 (desc A) -> Z, feature 1 (desc B) -> X
+        obs1 = np.full(N, -1); obs1[0] = Z; obs1[1] = X
+        a1 = make_kf_args(rng, 1, obs1)
+        xy1 = np.asarray(a1["xy"]).copy()
+        xy1[0] = [320.0, 240.0]; xy1[1] = [321.0, 240.0]
+        a1["xy"] = jnp.asarray(xy1)
+        d1 = np.asarray(a1["desc"]).copy(); d1[0] = A; d1[1] = B
+        a1["desc"] = jnp.asarray(d1)
+        m = insert_keyframe(m, 1, **a1)
+        # kf2, kf3 observe Z so obs counts are Z=3 > X=2 > Y=1
+        for slot in (2, 3):
+            obs = np.full(N, -1); obs[0] = Z
+            m = insert_keyframe(m, slot, **make_kf_args(rng, slot, obs))
+
+        # all three points at (0,0,5) in front of the identity cameras
+        m = add_points(m, jnp.asarray([X, Y, Z]),
+                       jnp.tile(jnp.asarray([[0.0, 0.0, 5.0]]), (3, 1)),
+                       jnp.asarray(np.stack([A, B, A])),
+                       jnp.zeros(3, jnp.int32), jnp.zeros(3, jnp.int32),
+                       jnp.ones(3, bool))
+        m = m._replace(
+            pt_max_dist=m.pt_max_dist.at[jnp.asarray([X, Y, Z])].set(5.0),
+            pt_min_dist=m.pt_min_dist.at[jnp.asarray([X, Y, Z])].set(0.0),
+        )
+        K_mat = jnp.asarray([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+
+        m2, n_bound, n_merged = fuse_into_keyframe(m, 0, 1, K_mat)
+        assert int(n_merged) == 2
+        # X and Y are dead, Z survives
+        assert not bool(m2.pt_valid[X]) and not bool(m2.pt_valid[Y])
+        assert bool(m2.pt_valid[Z])
+        obs_after = np.asarray(m2.kf_obs)
+        # every surviving observation points at Z — including kf0's Y
+        # binding, which pre-fix was left on the killed slot X
+        assert obs_after[0, 0] == Z and obs_after[0, 1] == Z
+        assert obs_after[1, 0] == Z and obs_after[1, 1] == Z
+        assert obs_after[2, 0] == Z and obs_after[3, 0] == Z

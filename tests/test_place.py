@@ -173,3 +173,33 @@ class TestVocabularyScale:
                 d0, jnp.asarray(voc.node_desc[ch])))[0]
             cur = int(ch[dists.argmin()])
         assert int(voc.word_of_node[cur]) == int(w_np[0])
+
+
+class TestBowOverflow:
+    def test_overflow_words_dropped_not_accumulated(self, rng):
+        """Unique words beyond n_slots must be dropped cleanly, not all
+        scattered into the last slot (advisor finding, round 1)."""
+        train = random_descs(rng, 2000)
+        voc = train_vocabulary(train, k=10, L=3, seed=1)
+        ww = jnp.asarray(voc.word_weight)
+        img = random_descs(rng, 400)   # many unique words
+        words, _ = transform(voc, jnp.asarray(img))
+        n_unique = len(np.unique(np.asarray(words)[np.asarray(words) >= 0]))
+        W_small = max(n_unique // 2, 4)
+        ids_s, w_s = bow_vector(words, ww, n_slots=W_small)
+        ids_s, w_s = np.asarray(ids_s), np.asarray(w_s)
+        big = 2 ** 30
+        kept = ids_s < big
+        # ids strictly increasing among kept slots: no overwritten slot
+        assert (np.diff(ids_s[kept]) > 0).all()
+        # L1 norm over kept words only
+        assert np.isclose(np.abs(w_s).sum(), 1.0, atol=1e-5)
+        # full-size vector: kept slots must agree with the truncated one
+        ids_f, w_f = bow_vector(words, ww, n_slots=400)
+        ids_f, w_f = np.asarray(ids_f), np.asarray(w_f)
+        np.testing.assert_array_equal(ids_s[kept], ids_f[: kept.sum()])
+        # truncated scores remain a reasonable approximation of the true
+        # self-score (pre-fix this dropped to ~0.79 against itself)
+        s_tt = float(l1_score(jnp.asarray(ids_s), jnp.asarray(w_s),
+                              jnp.asarray(ids_s), jnp.asarray(w_s)))
+        assert s_tt == pytest.approx(1.0, abs=1e-5)
