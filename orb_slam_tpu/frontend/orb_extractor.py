@@ -169,15 +169,24 @@ def _extract_stacked(img, pyr_consts=None, *, config: ORBConfig,
         img, config.n_levels, config.scale_factor, consts=pyr_consts)
     shapes_t = tuple(shapes)
 
-    detect = (
-        partial(detect_keypoints_stack_pallas, interpret=False)
-        if use_pallas else detect_keypoints_stack
-    )
-    xy_l, score_l, valid_l = detect(
-        stack, shapes_t, quotas,
-        th_ini=config.fast_th_ini, th_min=config.fast_th_min,
-        cell_size=config.cell_size, border=config.edge_threshold,
-    )  # [L, Qmax, ...]
+    if use_pallas:
+        if config.score_harris:
+            raise NotImplementedError(
+                "nScoreType=0 (Harris) is not supported by the Pallas "
+                "detector; use the default XLA path")
+        detect = partial(detect_keypoints_stack_pallas, interpret=False)
+        xy_l, score_l, valid_l = detect(
+            stack, shapes_t, quotas,
+            th_ini=config.fast_th_ini, th_min=config.fast_th_min,
+            cell_size=config.cell_size, border=config.edge_threshold,
+        )  # [L, Qmax, ...]
+    else:
+        xy_l, score_l, valid_l = detect_keypoints_stack(
+            stack, shapes_t, quotas,
+            th_ini=config.fast_th_ini, th_min=config.fast_th_min,
+            cell_size=config.cell_size, border=config.edge_threshold,
+            use_harris=config.score_harris,
+        )  # [L, Qmax, ...]
 
     blurred = jnp.round(gaussian_blur_stack(stack))
 

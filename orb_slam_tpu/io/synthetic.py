@@ -169,6 +169,31 @@ class SyntheticScene:
         return img.astype(np.float32)
 
 
+def ring_trajectory(n_frames, orbit_radius=2.0, total_angle=2.0 * np.pi,
+                    center=(0.0, 0.0, 0.0)):
+    """Ground-truth world->camera poses for a camera orbiting the origin and
+    looking radially OUTWARD at a cylindrical ring of points
+    (SyntheticScene(ring=True)). A full orbit revisits the start — the
+    organic loop-closure scenario (the reference's Example.bag contains
+    'a loop closure', README.md:151)."""
+    poses = []
+    c = np.asarray(center, np.float32)
+    for i in range(n_frames):
+        phi = total_angle * i / n_frames
+        d = np.array([np.sin(phi), 0.0, np.cos(phi)], np.float32)  # outward
+        x_cam = np.array([np.cos(phi), 0.0, -np.sin(phi)], np.float32)
+        y_cam = np.array([0.0, 1.0, 0.0], np.float32)
+        R_wc = np.stack([x_cam, y_cam, d], 1)   # columns = camera axes
+        R_cw = R_wc.T
+        C = c + orbit_radius * d
+        t = -R_cw @ C
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R_cw
+        T[:3, 3] = t
+        poses.append(T)
+    return np.stack(poses)
+
+
 def lateral_trajectory(n_frames, step=0.08, yaw_rate=0.0):
     """Ground-truth world->camera poses for a sideways-translating camera."""
     poses = []

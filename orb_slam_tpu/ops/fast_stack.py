@@ -124,7 +124,7 @@ def fast_score_stack(stack):
 
 
 @partial(jax.jit, static_argnames=("shapes", "quotas", "th_ini", "th_min",
-                                   "cell_size", "border"))
+                                   "cell_size", "border", "use_harris"))
 def detect_keypoints_stack(
     stack,
     shapes: tuple,          # static ((h,w), ...) true level sizes
@@ -133,9 +133,14 @@ def detect_keypoints_stack(
     th_min: float = 7.0,
     cell_size: int = 32,
     border: int = 16,
+    use_harris: bool = False,
 ):
     """FAST + NMS + per-cell threshold fallback + per-level quota selection
     over the whole stack at once.
+
+    `use_harris` reproduces nScoreType=0: detection/thresholding stays FAST
+    but corners are RANKED by Harris response (src/ORBextractor.cc:616-620;
+    same policy as ops/fast.detect_fast_keypoints).
 
     Returns (xy [L, Qmax, 2] i32 level-local coords, score [L, Qmax],
     valid [L, Qmax]) where Qmax = max(quotas); per-level entries beyond the
@@ -145,6 +150,15 @@ def detect_keypoints_stack(
     mx = jax.lax.reduce_window(
         score, -jnp.inf, jax.lax.max, (1, 3, 3), (1, 1, 1), "SAME")
     keep = score >= mx
+    if use_harris:
+        from orb_slam_tpu.ops.fast import harris_score_map
+        harris = jax.vmap(harris_score_map)(stack)
+        keep = keep & (score > th_min)
+        score = jnp.where(
+            score > th_min,
+            jnp.maximum(harris - jnp.min(harris), 1e-6) + th_ini + 1.0,
+            score,
+        )
     return select_from_scores(score, keep, shapes, quotas, th_ini=th_ini,
                               th_min=th_min, cell_size=cell_size,
                               border=border)

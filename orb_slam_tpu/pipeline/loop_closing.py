@@ -275,12 +275,19 @@ class LoopCloser:
             poses_corr[k][:3, 3] = base_t[k] / base_s[k]
         m = m._replace(kf_pose=jnp.asarray(poses_corr))
 
-        # --- fuse duplicates: project candidate-side local points into the
-        # current group (SearchAndFuse, LoopClosing.cc:557-570)
-        cand_group = [cand] + [int(k) for k in np.where(W_np[cand] > 0)[0]][:5]
-        for src in cand_group[:3]:
-            for dst in [new_kf] + group[1:3]:
-                if src != dst and kf_valid[src] and kf_valid[dst]:
+        # pre-fusion neighbor sets of the group (baseline for detecting NEW
+        # cross-loop connections, LoopClosing.cc:521-525)
+        prev_nb = {k: set(np.where(W_np[k] >= 15)[0].tolist()) for k in group}
+
+        # --- fuse duplicates: project the loop-side neighborhood's points
+        # into EVERY corrected keyframe (SearchAndFuse, LoopClosing.cc:557-570
+        # over mvpLoopMapPoints = points of cand + its covisibles)
+        cand_group = [cand] + [int(k) for k in np.where(W_np[cand] > 0)[0]]
+        for dst in group:
+            if not kf_valid[dst]:
+                continue
+            for src in cand_group:
+                if src != dst and kf_valid[src]:
                     m, _, _ = fuse_into_keyframe(
                         m, src, dst, system.K_dev,
                         width=system.cfg.camera.width,
@@ -289,6 +296,24 @@ class LoopCloser:
 
         # --- essential graph -------------------------------------------------
         W_np2 = np.asarray(covisibility_weights(m))
+
+        # new loop connections: post-fusion links of group members to
+        # non-group KFs that were not neighbors before (LoopClosing.cc:518-537);
+        # they enter the pose graph with CORRECTED measurements at weight>=100
+        # (plus the cur<->loop edge regardless, Optimizer.cc:609-636)
+        loop_conn = set()
+        group_set = set(group)
+        for i in group:
+            if not kf_valid[i]:
+                continue
+            for j in np.where(W_np2[i] >= 15)[0]:
+                j = int(j)
+                if (not kf_valid[j] or j in group_set
+                        or j in prev_nb.get(i, set())):
+                    continue
+                if W_np2[i, j] >= 100 or {i, j} == {new_kf, cand}:
+                    loop_conn.add((min(i, j), max(i, j)))
+        loop_conn.add((min(new_kf, cand), max(new_kf, cand)))
         sp = np.asarray(m.spanning_parent)
         loop_edges_np = np.asarray(m.loop_edges)
         edges = set()
@@ -307,7 +332,7 @@ class LoopCloser:
             j = int(loop_edges_np[k, le])
             if kf_valid[k] and kf_valid[j]:
                 edges.add((min(int(k), j), max(int(k), j)))
-        edges.add((min(new_kf, cand), max(new_kf, cand)))
+        edges |= loop_conn
         edges = sorted(edges)
 
         E_pad = 1
@@ -321,14 +346,15 @@ class LoopCloser:
         mt_ = np.zeros((E_pad, 3), np.float32)
         for n, (a, b) in enumerate(edges):
             ei[n], ej[n], ev[n] = a, b, True
-            # measurement from PRE-correction poses, except the loop edge
-            # which uses corrected Sim3s (Optimizer.cc:620-700)
-            if (a, b) == (min(new_kf, cand), max(new_kf, cand)):
+            # measurement from PRE-correction poses, except the new loop
+            # connections which use the corrected Sim3s of group members
+            # (vScw in Optimizer.cc:578-636: CorrectedSim3 for the group)
+            if (a, b) in loop_conn:
                 sa, Ra, ta = (
-                    (base_s[a], base_R[a], base_t[a]) if a in group
+                    (base_s[a], base_R[a], base_t[a]) if a in group_set
                     else (old_s[a], old_R[a], old_t[a]))
                 sb, Rb, tb = (
-                    (base_s[b], base_R[b], base_t[b]) if b in group
+                    (base_s[b], base_R[b], base_t[b]) if b in group_set
                     else (old_s[b], old_R[b], old_t[b]))
             else:
                 sa, Ra, ta = old_s[a], old_R[a], old_t[a]

@@ -61,9 +61,14 @@ class SlamConfig:
     min_frames_between_kf: int = 0    # reference mMinFrames (Tracking.cc:77)
     max_frames_between_kf: int = 18   # reference mMaxFrames at 30fps
     kf_tracked_ratio: float = 0.9     # c2 condition (Tracking.cc:650)
-    n_triangulation_neighbors: int = 6  # reference uses 20 (LocalMapping.cc:213)
-    n_fuse_neighbors: int = 6
-    local_ba_window: int = 16         # covisible KFs optimized in local BA
+    n_triangulation_neighbors: int = 20  # reference: LocalMapping.cc:213
+    n_fuse_neighbors: int = 20           # reference: LocalMapping.cc:379
+    n_fuse_second_neighbors: int = 5     # reference: LocalMapping.cc:383-395
+    local_ba_window: int = 0          # covisible KFs optimized in local BA;
+                                      # 0 = all covisibles (reference
+                                      # semantics, Optimizer.cc:289-338; the
+                                      # dense solve's cost does not depend
+                                      # on the window)
     p_local: int = 4096               # tracking candidate pool
     track_radius: float = 15.0
     kf_cull_redundancy: float = 0.9   # reference: LocalMapping.cc:567
@@ -114,35 +119,45 @@ class SLAMSystem:
     def __init__(self, cfg: SlamConfig = None):
         self.cfg = cfg or SlamConfig()
         self.extractor = ORBExtractor(self.cfg.orb)
+        # 2x-feature extractor for initialization (reference builds
+        # mpIniORBextractor with 2*nFeatures, Tracking.cc:111,126) — denser
+        # features make the two-view bootstrap robust on low texture; the
+        # initial keyframes are compacted back to n_features at map creation
+        from dataclasses import replace as _dc_replace
+        self.init_orb = _dc_replace(
+            self.cfg.orb, n_features=2 * self.cfg.orb.n_features)
+        self.extractor_init = ORBExtractor(self.init_orb)
         self.K = np.asarray(self.cfg.camera.K)
         self.K_dev = jnp.asarray(self.K)
-        self._frontend_jit = None
+        self._frontend_jit = {}
         self.reset()
 
-    def _frontend(self, gray):
+    def _frontend(self, gray, init: bool = False):
         """ONE fused device program: extraction + keypoint undistortion
         (per-op dispatch is expensive on the target runtime)."""
-        if self._frontend_jit is None:
-            from functools import partial as _partial
+        if init not in self._frontend_jit:
             from orb_slam_tpu.utils.dispatch import fused_jit
             from orb_slam_tpu.frontend.orb_extractor import (
                 _extract_stacked, _extract,
             )
             cam = self.cfg.camera
-            if self.extractor.stacked:
+            orb_cfg = self.init_orb if init else self.cfg.orb
+            extractor = self.extractor_init if init else self.extractor
+            if extractor.stacked:
                 def fn(img, consts):
-                    feats = _extract_stacked(img, consts, config=self.cfg.orb)
+                    feats = _extract_stacked(img, consts, config=orb_cfg)
                     xy_und = undistort_points(cam, feats.xy)
                     return feats, xy_und
             else:
                 def fn(img, consts):
-                    feats = _extract(img, config=self.cfg.orb)
+                    feats = _extract(img, config=orb_cfg)
                     xy_und = undistort_points(cam, feats.xy)
                     return feats, xy_und
 
-            self._frontend_jit = fused_jit(fn)
-        return self._frontend_jit(
-            gray, self.extractor.pyramid_consts(tuple(gray.shape)))
+            self._frontend_jit[init] = fused_jit(fn)
+        extractor = self.extractor_init if init else self.extractor
+        return self._frontend_jit[init](
+            gray, extractor.pyramid_consts(tuple(gray.shape)))
 
     # ------------------------------------------------------------------ setup
 
@@ -188,7 +203,10 @@ class SLAMSystem:
             )
         else:
             gray = to_grayscale(jnp.asarray(img))
-            feats, xy_und = self._frontend(gray)
+            # during initialization extract 2x the features
+            # (reference: Tracking.cc:199-202 picks mpIniORBextractor)
+            init = self.state in (NO_IMAGES_YET, NOT_INITIALIZED, INITIALIZING)
+            feats, xy_und = self._frontend(gray, init=init)
             f = FrameData(xy_und, feats.desc_u32, feats.octave, feats.angle,
                           feats.valid, self.frame_id, ts)
         return f
@@ -196,22 +214,51 @@ class SLAMSystem:
     # ------------------------------------------------------------------ entry
 
     def process_batch(self, images, timestamps=None):
-        """Offline/throughput mode: extract a whole batch of frames in ONE
-        device program (vmapped extractor — extraction has no sequential
+        """Offline/throughput mode: extract batches of frames in ONE device
+        program (vmapped extractor — extraction has no sequential
         dependency), then track them in order. Returns a list of poses
         (None where untracked). On directly-attached TPUs this amortizes
         per-dispatch overhead B-fold; results are identical to calling
-        process() per frame."""
+        process() per frame — frames before initialization run through the
+        sequential path (they use the 2x-feature init extractor,
+        Tracking.cc:199-202)."""
+        B = len(images)
+        if timestamps is None:
+            timestamps = [None] * B
+        poses = []
+        i = 0
+        while i < B:
+            if self.state not in (WORKING, LOST):
+                # pre-init states: sequential path (init extractor)
+                poses.append(self.process(img=images[i],
+                                          timestamp=timestamps[i]))
+                i += 1
+                continue
+            # batch-extract the remaining frames; re-enter if a mid-batch
+            # auto-reset drops back to an init state
+            feats, xy_und = self._batch_extract(images[i:])
+            for b in range(B - i):
+                fb = jax.tree.map(lambda x: x[b], feats)
+                ts = (timestamps[i + b] if timestamps[i + b] is not None
+                      else self.frame_id / 30.0)
+                frame = FrameData(xy_und[b], fb.desc_u32, fb.octave,
+                                  fb.angle, fb.valid, self.frame_id, ts)
+                self.frame_id += 1
+                poses.append(self._track(frame))
+                if self.state not in (WORKING, LOST):
+                    break
+            i += b + 1
+        return poses
+
+    def _batch_extract(self, images):
+        """Vmapped extraction of a list of images in one device program."""
         from functools import partial as _partial
         from orb_slam_tpu.frontend.orb_extractor import _extract_stacked
         from orb_slam_tpu.utils.dispatch import fused_jit
 
-        B = len(images)
-        if timestamps is None:
-            timestamps = [None] * B
         gray = jnp.stack([to_grayscale(jnp.asarray(im)) for im in images])
         shape = tuple(gray.shape[1:])
-        key = ("batch", shape, B)
+        key = ("batch", shape, len(images))
         if not hasattr(self, "_batch_jit"):
             self._batch_jit = {}
         if key not in self._batch_jit:
@@ -225,26 +272,8 @@ class SLAMSystem:
                 return feats, xy_und
 
             self._batch_jit[key] = fused_jit(fn)
-        feats, xy_und = self._batch_jit[key](
+        return self._batch_jit[key](
             gray, self.extractor.pyramid_consts(shape))
-
-        poses = []
-        for b in range(B):
-            fb = jax.tree.map(lambda x: x[b], feats)
-            frame = FrameData(xy_und[b], fb.desc_u32, fb.octave, fb.angle,
-                              fb.valid, self.frame_id,
-                              timestamps[b] if timestamps[b] is not None
-                              else self.frame_id / 30.0)
-            self.frame_id += 1
-            if self.state in (NO_IMAGES_YET, NOT_INITIALIZED):
-                self._first_initialization(frame)
-                poses.append(None)
-            elif self.state == INITIALIZING:
-                ok = self._try_initialize(frame)
-                poses.append(self.last_pose.copy() if ok else None)
-            else:
-                poses.append(self._track(frame))
-        return poses
 
     def process(self, img=None, features=None, timestamp=None):
         """Process one frame; returns the tracked pose (numpy [4,4]) or
@@ -323,16 +352,49 @@ class SLAMSystem:
         T2[:3, 3] *= inv_med
 
         N = cfg.map.n_features
-        pt_slots = np.full(N, -1, np.int32)
+        Nf = int(ref.xy.shape[0])  # 2N with the init extractor
+        pt_slots = np.full(Nf, -1, np.int32)
         tri_idx = np.where(tri)[0]
-        slots = [self.free_pt.pop(0) for _ in range(len(tri_idx))]
+        # cap new points at the free pool and (post-compaction) at N obs/KF
+        n_new = min(len(tri_idx), len(self.free_pt), N)
+        tri_idx = tri_idx[:n_new]
+        slots = [self.free_pt.pop(0) for _ in range(n_new)]
         pt_slots[tri_idx] = slots
 
         idx_np = np.asarray(idx)
-        obs1 = jnp.asarray(pt_slots)
-        obs2_np = np.full(N, -1, np.int32)
-        obs2_np[idx_np[tri_idx]] = pt_slots[tri_idx]
-        obs2 = jnp.asarray(obs2_np)
+        ok_np = np.asarray(ok)
+        point_desc = ref.desc[jnp.asarray(tri_idx)]  # before compaction
+
+        cur_pt = np.full(Nf, -1, np.int32)
+        cur_pt[idx_np[tri_idx]] = pt_slots[tri_idx]
+
+        if Nf > N:
+            # compact the 2x-feature init frames to the map's N feature
+            # slots: keep point-bearing features first, then matched, then
+            # any valid detection (Tracking.cc:111,126 builds the init
+            # keyframes from the 2x extraction; our fixed-shape keyframe
+            # arrays hold the best N of them)
+            vr = np.asarray(ref.valid)
+            prio_ref = np.where(pt_slots >= 0, 0,
+                                np.where(ok_np & vr, 1, np.where(vr, 2, 3)))
+            order_ref = np.argsort(prio_ref, kind="stable")[:N]
+            vc = np.asarray(frame.valid)
+            prio_cur = np.where(cur_pt >= 0, 0, np.where(vc, 2, 3))
+            order_cur = np.argsort(prio_cur, kind="stable")[:N]
+
+            def _subset(fr, order):
+                o = jnp.asarray(order)
+                return FrameData(fr.xy[o], fr.desc[o], fr.octave[o],
+                                 fr.angle[o], fr.valid[o], fr.frame_id,
+                                 fr.timestamp)
+
+            ref = _subset(ref, order_ref)
+            frame = _subset(frame, order_cur)
+            obs1 = jnp.asarray(pt_slots[order_ref])
+            obs2 = jnp.asarray(cur_pt[order_cur])
+        else:
+            obs1 = jnp.asarray(pt_slots)
+            obs2 = jnp.asarray(cur_pt)
 
         k1 = self._alloc_kf()
         k2 = self._alloc_kf()
@@ -348,7 +410,7 @@ class SLAMSystem:
         from orb_slam_tpu.slam_map.map_state import add_points
         m = add_points(
             m, act, jnp.asarray(pts[tri_idx]),
-            ref.desc[jnp.asarray(tri_idx)],
+            point_desc,
             jnp.full(len(tri_idx), k1, jnp.int32),
             jnp.full(len(tri_idx), k1, jnp.int32),
             jnp.ones(len(tri_idx), bool),
@@ -384,6 +446,14 @@ class SLAMSystem:
             return
         from orb_slam_tpu.place import train_vocabulary, KeyFrameDatabase
         from orb_slam_tpu.pipeline.loop_closing import LoopCloser
+        if self.vocab is None:
+            # the reference loads a pre-trained real-scale vocabulary at
+            # startup (main.cc:94-108); ours ships as a compact npz built
+            # by scripts/build_vocab.py. Fall back to training a small
+            # session vocabulary from the init frames if the artifact is
+            # missing.
+            from orb_slam_tpu.place.pretrained import load_pretrained
+            self.vocab = load_pretrained()
         if self.vocab is None:
             descs = np.concatenate([
                 np.asarray(ref.desc)[np.asarray(ref.valid)],
@@ -580,13 +650,25 @@ class SLAMSystem:
                 jnp.asarray(T0), pw, frame.xy, inv_s2, inl, self.K_dev)
             if int(n_opt) < 10:
                 continue
-            # guided refinement against the whole local map
+            # guided refinement ladder (Tracking.cc:948-995): a wide
+            # projection search (window 10, ORBdist 100), and if inliers
+            # land in [30, 50) a second narrower+stricter round
+            # (window 3, ORBdist 64), each followed by pose optimization
             res = track_frame(
                 m, frame.xy, frame.desc, frame.octave, frame.valid,
                 T_opt, self.K_dev, p_local=cfg.p_local,
                 width=cfg.camera.width, height=cfg.camera.height,
-                radius=cfg.track_radius)
-            if int(res.n_inliers) >= cfg.min_reloc_inliers:
+                radius=10.0, max_dist=100)
+            n_good = int(res.n_inliers)
+            if 30 <= n_good < cfg.min_reloc_inliers:
+                res2 = track_frame(
+                    m, frame.xy, frame.desc, frame.octave, frame.valid,
+                    res.pose, self.K_dev, p_local=cfg.p_local,
+                    width=cfg.camera.width, height=cfg.camera.height,
+                    radius=3.0, max_dist=64)
+                if int(res2.n_inliers) > n_good:
+                    res, n_good = res2, int(res2.n_inliers)
+            if n_good >= cfg.min_reloc_inliers:
                 self.last_pose = np.asarray(res.pose)
                 self.velocity = np.eye(4, dtype=np.float32)
                 self.state = WORKING
@@ -666,7 +748,27 @@ class SLAMSystem:
                 self.free_pt = self.free_pt[n_created:]
 
         # --- SearchInNeighbors: two-way fuse (LocalMapping.cc:373-450) ---
+        # target set = first neighbors + 5 second-order covisibles of each
+        # (LocalMapping.cc:379-395), deduplicated
+        fuse_targets = []
+        seen_t = {new_kf}
         for nb in neighbors[: cfg.n_fuse_neighbors]:
+            if nb not in seen_t:
+                fuse_targets.append(nb)
+                seen_t.add(nb)
+            order2 = np.argsort(-W_np[nb])
+            n2 = 0
+            for k2 in order2:
+                if n2 >= cfg.n_fuse_second_neighbors:
+                    break
+                k2 = int(k2)
+                if W_np[nb, k2] < 15 or not bool(m.kf_valid[k2]):
+                    continue
+                n2 += 1
+                if k2 not in seen_t:
+                    fuse_targets.append(k2)
+                    seen_t.add(k2)
+        for nb in fuse_targets:
             m, _, _ = fuse_into_keyframe(
                 m, new_kf, nb, self.K_dev,
                 width=cfg.camera.width, height=cfg.camera.height)
@@ -678,7 +780,8 @@ class SLAMSystem:
         m = refresh_point_stats(m)
 
         # --- Local BA (Optimizer.cc:287-536) ---
-        local = [new_kf] + neighbors[: cfg.local_ba_window]
+        ba_window = cfg.local_ba_window or len(neighbors)
+        local = [new_kf] + neighbors[:ba_window]
         cam_opt_np = np.zeros(cfg.map.max_keyframes, bool)
         cam_opt_np[local] = True
         # gauge: keep the two oldest keyframes fixed
@@ -703,8 +806,9 @@ class SLAMSystem:
             m = apply_edge_outliers(m, outlier, okf, ofeat)
         self._reclaim_points(m)
 
-        # --- KeyFrameCulling (LocalMapping.cc:524-578) ---
-        for nb in neighbors[:5]:
+        # --- KeyFrameCulling (LocalMapping.cc:524-578): the reference
+        # scans ALL covisible keyframes of the new KF ---
+        for nb in neighbors:
             if self.kf_order[nb] < 2:
                 continue  # never cull the gauge keyframes
             red, n_bound = keyframe_redundancy(m, nb)

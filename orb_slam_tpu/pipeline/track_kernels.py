@@ -72,7 +72,8 @@ def frustum_gate(state: MapState, T_cw, K_mat, width, height,
 
 @partial(
     fused_jit,
-    static_argnames=("p_local", "width", "height", "radius", "n_levels"),
+    static_argnames=("p_local", "width", "height", "radius", "n_levels",
+                     "max_dist"),
 )
 def track_frame(
     state: MapState,
@@ -88,6 +89,7 @@ def track_frame(
     height: int = 480,
     radius: float = 15.0,
     n_levels: int = 8,
+    max_dist: int = TH_HIGH,
 ) -> TrackResult:
     """One fused tracking step. Returns optimized pose + feature->point
     bindings for potential keyframe creation."""
@@ -126,7 +128,7 @@ def track_frame(
         allowed=gate,
         valid_a=sel_ok,
         valid_b=feat_valid,
-        max_dist=TH_HIGH,
+        max_dist=max_dist,
         nn_ratio=0.9,
         unique=True,
     )

@@ -78,6 +78,11 @@ def _unpack_bits(packed):
     ).astype(np.uint8)
 
 
+_POPCOUNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(1).astype(np.uint16)
+
+
 def _kmajority(descs, k, rng, iters=8):
     """Binary k-means with majority-vote means (FORB::meanValue,
     Thirdparty/DBoW2/DBoW2/FORB.cpp:28-77). descs: [M, 8] u32 numpy.
@@ -90,9 +95,10 @@ def _kmajority(descs, k, rng, iters=8):
     bits = _unpack_bits(descs)  # [M, 256]
     assign = np.zeros(M, np.int64)
     for _ in range(iters):
-        # distances M x k
+        # distances M x k via byte-popcount LUT (8x less temp memory than
+        # unpackbits — matters at vocabulary-training corpus sizes)
         x = descs[:, None, :] ^ centers[None, :, :]
-        d = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+        d = _POPCOUNT8[x.view(np.uint8)].sum(-1, dtype=np.uint32)
         new_assign = d.argmin(1)
         if (new_assign == assign).all():
             assign = new_assign
@@ -108,9 +114,15 @@ def _kmajority(descs, k, rng, iters=8):
     return centers, assign
 
 
-def train_vocabulary(descriptors, k=10, L=3, seed=0, weighting="tfidf"):
+def train_vocabulary(descriptors, k=10, L=3, seed=0, weighting="tfidf",
+                     documents=None):
     """Hierarchical k-majority clustering (DBoW2 create equivalent).
-    descriptors: [M, 8] u32 numpy training set. Returns Vocabulary."""
+    descriptors: [M, 8] u32 numpy training set. Returns Vocabulary.
+
+    documents: optional list of per-image descriptor arrays; when given,
+    idf weights use document frequency (the DBoW2 TF_IDF weighting,
+    TemplatedVocabulary.h setNodeWeights) instead of treating each
+    descriptor as its own document."""
     rng = np.random.default_rng(seed)
     descriptors = np.asarray(descriptors, np.uint32)
 
@@ -158,14 +170,54 @@ def train_vocabulary(descriptors, k=10, L=3, seed=0, weighting="tfidf"):
         L=L,
     )
     if weighting == "tfidf" and len(descriptors):
-        # idf over the training set treated as one document per descriptor
-        words = np.asarray(transform(voc, jnp.asarray(descriptors))[0])
-        counts = np.bincount(words[words >= 0], minlength=len(leaves))
-        n_docs = max(len(descriptors), 1)
-        idf = np.log(n_docs / np.maximum(counts, 1)).astype(np.float32)
-        idf[counts == 0] = 0.0
-        voc.word_weight = np.maximum(idf, 1e-3)
+        if documents is not None:
+            # document-frequency idf (TemplatedVocabulary.h setNodeWeights)
+            df = np.zeros(len(leaves), np.int64)
+            for doc in documents:
+                doc = np.asarray(doc, np.uint32)
+                if not len(doc):
+                    continue
+                w = np.asarray(transform(voc, jnp.asarray(doc))[0])
+                df[np.unique(w[w >= 0])] += 1
+            n_docs = max(len(documents), 1)
+            idf = np.log(n_docs / np.maximum(df, 1)).astype(np.float32)
+            idf[df == 0] = 0.0
+            voc.word_weight = np.maximum(idf, 1e-3)
+        else:
+            # fallback: one document per descriptor
+            words = np.asarray(transform(voc, jnp.asarray(descriptors))[0])
+            counts = np.bincount(words[words >= 0], minlength=len(leaves))
+            n_docs = max(len(descriptors), 1)
+            idf = np.log(n_docs / np.maximum(counts, 1)).astype(np.float32)
+            idf[counts == 0] = 0.0
+            voc.word_weight = np.maximum(idf, 1e-3)
     return voc
+
+
+# ----------------------------------------------------------------- npz format
+
+def save_npz(voc: Vocabulary, path: str):
+    """Compact binary vocabulary artifact (much smaller / faster than the
+    DBoW2 text format; use save_text for interoperability)."""
+    np.savez_compressed(
+        path, children=voc.children, node_desc=voc.node_desc,
+        is_leaf=voc.is_leaf, word_weight=voc.word_weight,
+        level_of_node=voc.level_of_node, kL=np.asarray([voc.k, voc.L]))
+
+
+def load_npz(path: str) -> Vocabulary:
+    d = np.load(path)
+    is_leaf = d["is_leaf"].astype(bool)
+    n_nodes = len(is_leaf)
+    word_of_node = np.full(n_nodes, -1, np.int32)
+    leaves = np.where(is_leaf)[0]
+    word_of_node[leaves] = np.arange(len(leaves))
+    k, L = (int(x) for x in d["kL"])
+    return Vocabulary(
+        children=d["children"], node_desc=d["node_desc"], is_leaf=is_leaf,
+        word_of_node=word_of_node, node_of_word=leaves.astype(np.int32),
+        word_weight=d["word_weight"], level_of_node=d["level_of_node"],
+        k=k, L=L)
 
 
 @partial(jax.jit, static_argnames=("L", "levels_up"))

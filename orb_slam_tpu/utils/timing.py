@@ -13,6 +13,18 @@ from collections import defaultdict
 import jax
 
 
+def force_value(result):
+    """Synchronize by VALUE READBACK. On the axon remote-TPU runtime,
+    `jax.block_until_ready` returns immediately without waiting for the
+    device (PERF.md); transferring the bytes to the host is the only
+    reliable sync, and it is what this helper does for every array leaf."""
+    import numpy as _np
+
+    for leaf in jax.tree.leaves(result):
+        if hasattr(leaf, "dtype"):
+            _np.asarray(leaf)
+
+
 class StageTimer:
     """Accumulates per-stage wall times (with optional device sync)."""
 
@@ -26,7 +38,7 @@ class StageTimer:
         t0 = time.perf_counter()
         yield
         if self.sync and result is not None:
-            jax.block_until_ready(result)
+            force_value(result)
         self.totals[name] += time.perf_counter() - t0
         self.counts[name] += 1
 

@@ -46,8 +46,12 @@ class TestRelocalisation:
         # Tracking.cc:272-279 — tested separately below)
         # kf_tracked_ratio>1 forces c2 true -> keyframe every 3 frames
         # (the oracle scene tracks too well to trigger the 90% rule)
+        # kf_cull_redundancy>1 disables keyframe culling: the oracle scene
+        # makes every KF ~fully redundant, and with the reference's
+        # all-covisibles culling scope the map would never exceed 5 KFs
         sys_ = make_system(scene, 200, enable_loop_closing=False,
-                           max_frames_between_kf=3, kf_tracked_ratio=1.5)
+                           max_frames_between_kf=3, kf_tracked_ratio=1.5,
+                           kf_cull_redundancy=1.1)
         n_slots = 200
         # straight lateral run to build a map
         poses = [yaw_pose(0.0, [0.06 * i, 0, 0]) for i in range(25)]
