@@ -32,6 +32,7 @@ from orb_slam_tpu.pipeline.mapping_kernels import fuse_into_keyframe
 
 
 from orb_slam_tpu.utils.dispatch import fused_jit
+from orb_slam_tpu.utils.log import dbg
 
 
 @fused_jit
@@ -114,6 +115,8 @@ class LoopCloser:
 
             cands = self.db.detect_loop_candidates(
                 ids, w, new_kf, covis, min_score, W_np)
+            dbg(f"loop kf{new_kf}: min_score={min_score:.3f} "
+                f"cands={cands} covis={len(covis)}")
             if not cands:
                 self.consistent_groups = []
                 return [], ids, w
@@ -132,6 +135,8 @@ class LoopCloser:
                 if best_count >= 3:
                     enough.append(c)
             self.consistent_groups = new_groups
+            dbg(f"loop kf{new_kf}: consistent={enough} "
+                f"groups={[c for _, c in new_groups]}")
             return enough, ids, w
         finally:
             # the reference adds the KF to the database at the end of
@@ -156,6 +161,7 @@ class LoopCloser:
             )
             n_matches = int(jnp.sum(ok))
             self.debug_last = {"cand": cand, "matches": n_matches}
+            dbg(f"sim3 kf-cand {cand}: matches={n_matches}")
             if n_matches < 20:
                 continue
 
@@ -184,6 +190,7 @@ class LoopCloser:
             s, R, t, inl, n_in = sim3_ransac(
                 p1, p2, uv1, uv2, ok, s2_1, s2_2, system.K_dev, key)
             self.debug_last["ransac_inl"] = int(n_in)
+            dbg(f"sim3 cand {cand}: ransac_inliers={int(n_in)}")
             if int(n_in) < 20:
                 continue
 
@@ -209,6 +216,7 @@ class LoopCloser:
                 1.0 / s2_1, 1.0 / s2_2m, system.K_dev)
             if int(n_in) < 20:
                 continue
+            dbg(f"sim3 cand {cand}: ACCEPTED opt_inliers={int(n_in)}")
             return cand, (s, R, t), inl
         return None
 

@@ -34,6 +34,7 @@ from orb_slam_tpu.slam_map.observations import refresh_point_stats
 from orb_slam_tpu.solvers import initialize_two_view
 from orb_slam_tpu.solvers.local_ba import bundle_adjust, apply_edge_outliers
 from orb_slam_tpu.pipeline.track_kernels import track_frame
+from orb_slam_tpu.utils.log import dbg, DEBUG
 from orb_slam_tpu.pipeline.mapping_kernels import (
     triangulate_new_points, insert_new_points, fuse_into_keyframe,
     point_cull_stats, keyframe_redundancy,
@@ -708,6 +709,7 @@ class SLAMSystem:
             | ((age >= 2) & (age <= 3) & (n_obs <= 2))
         )
         if kill.any():
+            dbg(f"kf{new_kf}: point-cull {int(kill.sum())}")
             m = remove_points(m, jnp.asarray(kill))
             self.free_pt.extend(int(i) for i in np.where(kill)[0])
             self.free_pt = sorted(set(self.free_pt))
@@ -744,6 +746,7 @@ class SLAMSystem:
             m, n_created = insert_new_points(
                 m, new_kf, nb, cand, jnp.asarray(free))
             n_created = int(n_created)
+            dbg(f"kf{new_kf}: triangulated {n_created} with kf{nb}")
             if n_created:
                 self.free_pt = self.free_pt[n_created:]
 
@@ -769,12 +772,15 @@ class SLAMSystem:
                     fuse_targets.append(k2)
                     seen_t.add(k2)
         for nb in fuse_targets:
-            m, _, _ = fuse_into_keyframe(
+            m, b1, g1 = fuse_into_keyframe(
                 m, new_kf, nb, self.K_dev,
                 width=cfg.camera.width, height=cfg.camera.height)
-            m, _, _ = fuse_into_keyframe(
+            m, b2, g2 = fuse_into_keyframe(
                 m, nb, new_kf, self.K_dev,
                 width=cfg.camera.width, height=cfg.camera.height)
+            if DEBUG:
+                dbg(f"kf{new_kf}<->kf{nb}: fuse bound {int(b1)}+{int(b2)} "
+                    f"merged {int(g1)}+{int(g2)}")
         self._reclaim_points(m)
 
         m = refresh_point_stats(m)
@@ -799,11 +805,20 @@ class SLAMSystem:
         # Optimizer.cc:351-352): a newly queued keyframe interrupts phase 2.
         m, outlier, (okf, ofeat) = bundle_adjust(
             m, self.K_dev, cam_opt, pt_opt, iters1=5, iters2=0)
+        if DEBUG:
+            dbg(f"kf{new_kf}: BA1 outlier-edges {int(jnp.sum(outlier))} "
+                f"valid {int(jnp.sum(m.pt_valid))}")
         m = apply_edge_outliers(m, outlier, okf, ofeat)
+        if DEBUG:
+            dbg(f"kf{new_kf}: after BA1 eject valid {int(jnp.sum(m.pt_valid))}")
         if not aborted():
             m, outlier, (okf, ofeat) = bundle_adjust(
                 m, self.K_dev, cam_opt, pt_opt, iters1=0, iters2=10)
+            if DEBUG:
+                dbg(f"kf{new_kf}: BA2 outlier-edges {int(jnp.sum(outlier))}")
             m = apply_edge_outliers(m, outlier, okf, ofeat)
+            if DEBUG:
+                dbg(f"kf{new_kf}: after BA2 eject valid {int(jnp.sum(m.pt_valid))}")
         self._reclaim_points(m)
 
         # --- KeyFrameCulling (LocalMapping.cc:524-578): the reference
@@ -813,6 +828,7 @@ class SLAMSystem:
                 continue  # never cull the gauge keyframes
             red, n_bound = keyframe_redundancy(m, nb)
             if float(red) > cfg.kf_cull_redundancy and int(n_bound) > 20:
+                dbg(f"kf{new_kf}: culling redundant kf{nb} (red={float(red):.2f})")
                 m = remove_keyframe(m, nb)
                 m = self._repair_spanning_tree(m, nb)
                 self.free_kf.append(nb)

@@ -19,7 +19,13 @@ from orb_slam_tpu.slam_map.map_state import MapState
 from orb_slam_tpu.ops.matching import INVALID_DIST
 from orb_slam_tpu.utils.dispatch import fused_jit
 
-OBS_CAP = 16  # max observations per point used for statistics
+# max observations per point used for statistics / BA edges. The reference
+# is unbounded (MapPoint.cc:65-103); the cap bounds the dense [P, O] edge
+# table. Overridable per call (observation_table cap=) and globally via
+# SLAM_OBS_CAP for experiments (see PERF.md for the 16-vs-64 study).
+import os as _os
+
+OBS_CAP = int(_os.environ.get("SLAM_OBS_CAP", "16"))
 
 
 def flatten_observations(state: MapState):
@@ -42,13 +48,14 @@ def flatten_observations(state: MapState):
     return key[order], kf[order], feat[order], valid[order]
 
 
-def observation_table(state: MapState):
+def observation_table(state: MapState, cap: int = 0):
     """Capped per-point observation table.
 
     Returns (obs_kf [P, O], obs_feat [P, O], obs_valid [P, O]) — the first
-    O = OBS_CAP observations of each point (others ignored for statistics,
-    which matches the reference's behavior closely: stats are dominated by
-    the early/reference observations)."""
+    O = cap (default OBS_CAP) observations of each point (others ignored
+    for statistics, which matches the reference's behavior closely: stats
+    are dominated by the early/reference observations)."""
+    cap = cap or OBS_CAP
     P = state.pt_valid.shape[0]
     s_pid, s_kf, s_feat, s_valid = flatten_observations(state)
     # position within each point's contiguous segment
@@ -59,11 +66,11 @@ def observation_table(state: MapState):
     seg_start = jax.lax.associative_scan(jnp.maximum, seg_start_idx)
     pos = jnp.arange(s_pid.shape[0]) - seg_start
 
-    ok = s_valid & (pos < OBS_CAP)
+    ok = s_valid & (pos < cap)
     rows = jnp.where(ok, s_pid, P - 1)
-    cols = jnp.clip(pos, 0, OBS_CAP - 1)
-    obs_kf = jnp.full((P, OBS_CAP), -1, jnp.int32)
-    obs_feat = jnp.full((P, OBS_CAP), -1, jnp.int32)
+    cols = jnp.clip(pos, 0, cap - 1)
+    obs_kf = jnp.full((P, cap), -1, jnp.int32)
+    obs_feat = jnp.full((P, cap), -1, jnp.int32)
     obs_kf = obs_kf.at[rows, cols].set(jnp.where(ok, s_kf, obs_kf[rows, cols]))
     obs_feat = obs_feat.at[rows, cols].set(
         jnp.where(ok, s_feat, obs_feat[rows, cols])

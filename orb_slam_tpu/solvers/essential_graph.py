@@ -68,17 +68,26 @@ def optimize_essential_graph(
             (meas_s[e], meas_R[e], meas_t[e]),
         )
 
-    def step(_, xi):
-        # residuals and per-edge Jacobians w.r.t. the two endpoint vertices
-        def res_fn(xi_i, xi_j, e):
-            i, j = edges_i[e], edges_j[e]
-            return _edge_residual(
-                xi_i, xi_j,
-                (base_s[i], base_R[i], base_t[i]),
-                (base_s[j], base_R[j], base_t[j]),
-                (meas_s[e], meas_R[e], meas_t[e]),
-            )
+    def res_fn(xi_i, xi_j, e):
+        i, j = edges_i[e], edges_j[e]
+        return _edge_residual(
+            xi_i, xi_j,
+            (base_s[i], base_R[i], base_t[i]),
+            (base_s[j], base_R[j], base_t[j]),
+            (meas_s[e], meas_R[e], meas_t[e]),
+        )
 
+    def total_cost(xi):
+        e_ids = jnp.arange(E)
+        r = jax.vmap(one_edge_res, in_axes=(None, 0))(xi, e_ids)
+        return jnp.sum(jnp.sum(r * r, -1) * edge_valid)
+
+    def step(_, carry):
+        # adaptive-lambda Levenberg-Marquardt (the reference uses g2o LM
+        # with lambda_init=1e-16 for the essential graph, Optimizer.cc:553):
+        # propose a step at lambda, accept only if the total squared
+        # residual drops (lambda /= 2), else reject and stiffen (lambda *= 10)
+        xi, lam = carry
         e_ids = jnp.arange(E)
         xi_i = xi[jnp.clip(edges_i, 0, K - 1)]
         xi_j = xi[jnp.clip(edges_j, 0, K - 1)]
@@ -105,7 +114,7 @@ def optimize_essential_graph(
         H = H[:K, :K]
         b = b[:K]
 
-        H = H.at[jnp.arange(K), jnp.arange(K)].add(1e-6 * jnp.eye(7)[None])
+        H = H.at[jnp.arange(K), jnp.arange(K)].add(lam * jnp.eye(7)[None])
         # fixed vertices: identity rows
         H = jnp.where(fixed[:, None, None, None], 0.0, H)
         H = jnp.where(fixed[None, :, None, None], 0.0, H)
@@ -119,9 +128,15 @@ def optimize_essential_graph(
         dx = jnp.linalg.solve(Hd, -bd).reshape(K, 7)
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         dx = dx * ~fixed[:, None]
-        return xi + dx
+        new_xi = xi + dx
+        accept = total_cost(new_xi) < total_cost(xi)
+        xi = jnp.where(accept, new_xi, xi)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 10.0), 1e-16, 1e6)
+        return (xi, lam)
 
-    xi = jax.lax.fori_loop(0, iters, step, xi)
+    # lambda_init=1e-16 matches the reference's essential-graph setting
+    # (Optimizer.cc:553): trust the Gauss-Newton step unless it misbehaves
+    xi, _ = jax.lax.fori_loop(0, iters, step, (xi, jnp.float32(1e-16)))
     return _vertex(xi, base_s, base_R, base_t)
 
 

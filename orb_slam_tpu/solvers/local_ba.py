@@ -203,30 +203,55 @@ def bundle_adjust(
     edge_on = obs_valid & pt_opt[:, None]
     kf_pose, pt_pos = state.kf_pose, state.pt_pos
 
+    def robust_cost(kf_pose, pt_pos, edge_on):
+        """Total Huber cost over active edges (the LM acceptance metric)."""
+        chi2, z = _edge_chi2(kf_pose, pt_pos, obs_kf, obs_feat, state.kf_xy,
+                             K_mat, inv_sigma2)
+        e = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+        rho = jnp.where(e <= HUBER_DELTA, chi2,
+                        2.0 * HUBER_DELTA * e - HUBER_DELTA ** 2)
+        return jnp.sum(rho * (edge_on & (z > 0)))
+
     def phase(carry, n_iters, gate_chi2):
-        kf_pose, pt_pos, edge_on = carry
+        # adaptive-lambda Levenberg-Marquardt (the reference's g2o
+        # OptimizationAlgorithmLevenberg, Optimizer.cc:56): each iteration
+        # proposes a step at the current lambda, accepts it only if the
+        # robust cost decreases (lambda /= 2), else rejects and retries
+        # stiffer (lambda *= 10). Fixed-damping GN diverges on
+        # ill-conditioned local geometry (measured: a curved-trajectory KF
+        # blew 614/800 edges past the chi2 gate in one phase).
+        kf_pose, pt_pos, edge_on, lam = carry
 
         def step(_, c):
-            kf_pose, pt_pos = c
+            kf_pose, pt_pos, lam = c
             chi2, z = _edge_chi2(kf_pose, pt_pos, obs_kf, obs_feat,
                                  state.kf_xy, K_mat, inv_sigma2)
             e = jnp.sqrt(jnp.maximum(chi2, 1e-12))
             w_huber = jnp.where(e <= HUBER_DELTA, 1.0, HUBER_DELTA / e)
             w = inv_sigma2 * w_huber * edge_on * (z > 0)
-            return _solve_iteration(kf_pose, pt_pos, w, obs_kf, obs_feat,
-                                    state.kf_xy, K_mat, cam_opt, pt_opt,
-                                    damping)
+            new_pose, new_pts = _solve_iteration(
+                kf_pose, pt_pos, w, obs_kf, obs_feat,
+                state.kf_xy, K_mat, cam_opt, pt_opt, lam)
+            cost0 = robust_cost(kf_pose, pt_pos, edge_on)
+            cost1 = robust_cost(new_pose, new_pts, edge_on)
+            accept = cost1 < cost0
+            kf_pose = jnp.where(accept, new_pose, kf_pose)
+            pt_pos = jnp.where(accept, new_pts, pt_pos)
+            lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 10.0),
+                           1e-9, 1e6)
+            return (kf_pose, pt_pos, lam)
 
-        kf_pose, pt_pos = jax.lax.fori_loop(0, n_iters, step, (kf_pose, pt_pos))
+        kf_pose, pt_pos, lam = jax.lax.fori_loop(
+            0, n_iters, step, (kf_pose, pt_pos, lam))
         chi2, z = _edge_chi2(kf_pose, pt_pos, obs_kf, obs_feat, state.kf_xy,
                              K_mat, inv_sigma2)
         edge_on = edge_on & (chi2 <= gate_chi2) & (z > 0)
-        return (kf_pose, pt_pos, edge_on)
+        return (kf_pose, pt_pos, edge_on, lam)
 
-    carry = (kf_pose, pt_pos, edge_on)
+    carry = (kf_pose, pt_pos, edge_on, jnp.float32(damping))
     carry = phase(carry, iters1, CHI2_MONO)
     carry = phase(carry, iters2, CHI2_MONO)
-    kf_pose, pt_pos, edge_in = carry
+    kf_pose, pt_pos, edge_in, _ = carry
 
     outlier = obs_valid & pt_opt[:, None] & ~edge_in
     new_state = state._replace(kf_pose=kf_pose, pt_pos=pt_pos)
