@@ -1,0 +1,129 @@
+"""Accuracy artifact: render the validated loop sequence, run it through the
+CLI (`run` -> KeyFrameTrajectory.txt, `eval` -> ATE RMSE vs ground truth),
+and record EVAL_r{N}.json at the repo root — the reference's evaluation
+protocol (TUM-format keyframe trajectory -> ATE RMSE, main.cc:160-185 +
+the TRO 2015 paper's metric).
+
+Usage: python scripts/make_eval.py [--out EVAL_r02.json]"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="EVAL_r02.json")
+    ap.add_argument("--frames", type=int, default=260)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    from orb_slam_tpu.io.synthetic import SyntheticScene, ring_trajectory
+    from orb_slam_tpu.geometry import se3_inverse, rot_to_quat
+    from orb_slam_tpu.io.trajectory import (
+        read_tum, ate_rmse, camera_centers_from_cw)
+    from PIL import Image
+
+    N = args.frames
+    scene = SyntheticScene(
+        n_points=1200, seed=5, width=320, height=240,
+        fx=200.0, fy=200.0, cx=160.0, cy=120.0,
+        ring=True, depth_range=(10.0, 13.0), extent=(0, 3.0, 0))
+    poses = ring_trajectory(N, orbit_radius=4.0,
+                            total_angle=2.0 * np.pi * N / 240.0)
+
+    tmp = tempfile.mkdtemp(prefix="slam_eval_")
+    img_dir = os.path.join(tmp, "images")
+    os.makedirs(img_dir)
+    print(f"rendering {N} frames -> {img_dir}", file=sys.stderr)
+    for i in range(N):
+        img = scene.render_image(poses[i], patch=6)
+        Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(
+            os.path.join(img_dir, f"{i:06d}.png"))
+
+    settings = os.path.join(tmp, "settings.yaml")
+    with open(settings, "w") as f:
+        f.write("""%YAML:1.0
+Camera.fx: 200.0
+Camera.fy: 200.0
+Camera.cx: 160.0
+Camera.cy: 120.0
+Camera.k1: 0.0
+Camera.k2: 0.0
+Camera.p1: 0.0
+Camera.p2: 0.0
+Camera.fps: 30.0
+Camera.RGB: 1
+Camera.width: 320
+Camera.height: 240
+ORBextractor.nFeatures: 500
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 4
+ORBextractor.fastTh: 20
+ORBextractor.nScoreType: 1
+UseMotionModel: 1
+""")
+
+    # ground truth in TUM format
+    gt_path = os.path.join(tmp, "gt.txt")
+    with open(gt_path, "w") as f:
+        for i in range(N):
+            T_wc = np.asarray(se3_inverse(jnp.asarray(poses[i])))
+            q = np.asarray(rot_to_quat(jnp.asarray(T_wc[:3, :3])))
+            t = T_wc[:3, 3]
+            f.write(f"{i/30.0:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                    f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n")
+
+    traj = os.path.join(tmp, "KeyFrameTrajectory.txt")
+    t0 = time.time()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "orb_slam_tpu.cli", "run", settings, img_dir,
+         "--out", traj, "--max-keyframes", "128", "--max-points", "6144"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True)
+    print(r.stderr[-2000:], file=sys.stderr)
+    if r.returncode != 0:
+        raise SystemExit(f"cli run failed rc={r.returncode}")
+    wall = time.time() - t0
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "orb_slam_tpu.cli", "eval", traj, gt_path],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True)
+    print(r2.stdout, file=sys.stderr)
+    ev = json.loads(r2.stdout.strip().splitlines()[-1])
+
+    ts_g, p_g, _ = read_tum(gt_path)
+    traj_len = float(np.sum(np.linalg.norm(np.diff(p_g, axis=0), axis=1)))
+    out = {
+        "metric": "ate_rmse_keyframe_trajectory",
+        "sequence": f"rendered ring orbit, {N} frames, 420 deg, organic "
+                    f"loop closure, real frontend + pretrained vocab",
+        "ate_rmse": ev["ate_rmse"],
+        "n_keyframes_associated": ev["n_associated"],
+        "trajectory_length": round(traj_len, 3),
+        "ate_over_length_pct": round(100.0 * ev["ate_rmse"] / traj_len, 2),
+        "wall_s_cpu_host": round(wall, 1),
+        "protocol": "TUM keyframe trajectory vs ground truth, Sim3-aligned "
+                    "ATE RMSE (reference: main.cc:160-185 + TRO'15 paper)",
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
