@@ -43,6 +43,12 @@ class ORBConfig:
     cell_size: int = 32
     # reference nScoreType: 1 = FAST score (default), 0 = Harris rescoring
     score_harris: bool = False
+    # rBRIEF orientation discretization for the stacked fast path: the ORB
+    # paper's precomputed rotated-pattern LUT (2*pi/30 steps, Rublee et al.
+    # 2011 §4.1) turns descriptor sampling into one MXU matmul. 0 =
+    # OpenCV-style continuous rotation (per-keypoint gathers; the exact
+    # per-level path always uses this).
+    desc_lut_bins: int = 30
 
     def level_quotas(self):
         """Geometric per-level feature quotas (reference:
@@ -122,15 +128,17 @@ class ORBExtractor:
         self.config = config
         self.stacked = stacked
         if use_pallas is None:
-            # the fused Pallas kernel is validated and VMEM-bounded, but on
-            # the current remote runtime its per-grid-instance overhead
-            # (160 row-block launches) loses to the XLA stencil; default off
-            use_pallas = False
+            # the fused FAST kernel keeps the 16 difference planes in VMEM
+            # (measured 2.1 vs 6.9 ms/frame device-side against the XLA
+            # stencil); interpret-mode emulation on CPU is too slow, so
+            # default on only where Mosaic compiles natively
+            use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
         self._jitted = {}
 
     def pyramid_consts(self, shape):
-        """Device-resident bilinear matrices, passed as ARGUMENTS (closure
+        """Device-resident constant tensors (bilinear pyramid matrices +
+        the rBRIEF orientation-bin LUT), passed as ARGUMENTS (closure
         constants are re-hashed per call on the target runtime)."""
         if not hasattr(self, "_consts"):
             self._consts = {}
@@ -139,7 +147,13 @@ class ORBExtractor:
             Rp, Cp = pyramid_matrices(shape[0], shape[1],
                                       self.config.n_levels,
                                       self.config.scale_factor)
-            self._consts[shape] = (jnp.asarray(Rp), jnp.asarray(Cp))
+            lut = None
+            if self.config.desc_lut_bins:
+                from orb_slam_tpu.ops.descriptor_stack import rbrief_lut_table
+                lut = jnp.asarray(
+                    rbrief_lut_table(self.config.desc_lut_bins),
+                    jnp.bfloat16)
+            self._consts[shape] = (jnp.asarray(Rp), jnp.asarray(Cp), lut)
         return self._consts[shape]
 
     def __call__(self, img) -> ORBFeatures:
@@ -193,10 +207,22 @@ def _extract_stacked(img, pyr_consts=None, *, config: ORBConfig,
     # orientation + descriptors for ALL levels in one batched pass
     # (gather-as-matmul against the level canvases; ~12 large ops replace
     # ~130 per-level ones — see ops/descriptor_stack.py)
-    from orb_slam_tpu.ops.descriptor_stack import ic_angles_batch, rbrief_batch
+    from orb_slam_tpu.ops.descriptor_stack import (
+        ic_angles_batch, rbrief_batch, rbrief_batch_lut,
+    )
 
     angle_l = ic_angles_batch(stack, xy_l, shapes_t)       # [L, Qmax]
-    desc_l = rbrief_batch(blurred, xy_l, angle_l, shapes_t)  # [L, Qmax, 32]
+    lut = pyr_consts[2] if (pyr_consts is not None
+                            and len(pyr_consts) > 2) else None
+    if config.desc_lut_bins and lut is None:
+        from orb_slam_tpu.ops.descriptor_stack import rbrief_lut_table
+        lut = jnp.asarray(rbrief_lut_table(config.desc_lut_bins),
+                          jnp.bfloat16)
+    if config.desc_lut_bins:
+        desc_l = rbrief_batch_lut(blurred, xy_l, angle_l, shapes_t, lut,
+                                  config.desc_lut_bins)  # [L, Qmax, 32]
+    else:
+        desc_l = rbrief_batch(blurred, xy_l, angle_l, shapes_t)
 
     Lv = config.n_levels
     parts = {k: [] for k in ("xy", "s", "v", "lvl", "ang", "desc")}

@@ -134,6 +134,80 @@ def rbrief_batch(blurred_stack, xy_l, angles_l, shapes):
                    dtype=jnp.uint8)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def rbrief_lut_table(n_bins: int = 30) -> np.ndarray:
+    """[S2, n_bins*256] f32 rotated-pattern comparison table, S2 = 39*39.
+
+    The ORB paper's own formulation (Rublee et al. 2011 §4.1): discretize
+    the orientation to 2*pi/n_bins increments (12 degrees at 30 bins) and
+    precompute the rotated BRIEF sampling pattern per bin. Column
+    (a*256 + p) holds +1 at pair p's second sample and -1 at its first,
+    both rotated by bin angle a — so bit = (patch . column) > 0, i.e. the
+    whole descriptor is one MXU matmul against the flattened patch instead
+    of 512 per-keypoint gathers (measured 11 ms/frame of element-at-a-time
+    gather traffic on TPU; the matmul is ~0.3 ms)."""
+    idx = lut_sample_indices(n_bins)  # [n_bins, 512]
+    D = np.zeros((_RB_SIZE * _RB_SIZE, n_bins * 256), np.float32)
+    for a in range(n_bins):
+        for p in range(256):
+            D[idx[a, 2 * p + 1], a * 256 + p] += 1.0
+            D[idx[a, 2 * p], a * 256 + p] -= 1.0
+    return D
+
+
+def lut_sample_indices(n_bins: int = 30) -> np.ndarray:
+    """[n_bins, 512] flattened within-patch sample index of each rotated
+    pattern point, per orientation bin (samples 2p / 2p+1 = pair p)."""
+    px = _PAT[:, :, 0].reshape(512)
+    py = _PAT[:, :, 1].reshape(512)
+    out = np.zeros((n_bins, 512), np.int64)
+    for a in range(n_bins):
+        th = 2.0 * np.pi * a / n_bins
+        ca, sa = np.cos(th), np.sin(th)
+        col = np.round(px * ca - py * sa).astype(np.int64)
+        row = np.round(px * sa + py * ca).astype(np.int64)
+        r_in = np.clip(row + _RB_HALF, 0, _RB_SIZE - 1)
+        c_in = np.clip(col + _RB_HALF, 0, _RB_SIZE - 1)
+        out[a] = r_in * _RB_SIZE + c_in
+    return out
+
+
+def quantize_angle(angles, n_bins: int = 30):
+    """Angle -> orientation bin in [0, n_bins)."""
+    step = 2.0 * np.pi / n_bins
+    return jnp.mod(jnp.round(angles / step).astype(jnp.int32), n_bins)
+
+
+def rbrief_batch_lut(blurred_stack, xy_l, angles_l, shapes, table,
+                     n_bins: int = 30):
+    """[L, Q, 32] u8 descriptors via the per-orientation-bin LUT matmul.
+
+    Same bit layout as rbrief_batch; the only deviation is the paper's
+    orientation discretization (12-degree steps at the default 30 bins)
+    in place of OpenCV's continuous rotation. table = rbrief_lut_table(),
+    passed as a device argument (23 MB — a jit closure constant would be
+    re-hashed per call on the target runtime)."""
+    Lv, Q = xy_l.shape[0], xy_l.shape[1]
+    patches = extract_patches_batch(blurred_stack, xy_l, shapes, _RB_SIZE)
+    flat = patches.reshape(Lv, Q, _RB_SIZE * _RB_SIZE)
+    # patch values are integers <= 255 and table entries are {-1,0,+1}:
+    # bf16 products are exact, f32 accumulation is exact
+    y = jnp.einsum(
+        "lqs,st->lqt", flat.astype(jnp.bfloat16), table.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).reshape(Lv, Q, n_bins, 256)
+    bin_oh = jax.nn.one_hot(
+        quantize_angle(angles_l, n_bins), n_bins, dtype=jnp.float32)
+    sel = jnp.einsum("lqab,lqa->lqb", y, bin_oh)
+    bits = (sel > 0.0).astype(jnp.uint8).reshape(Lv, Q, 32, 8)
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+    return jnp.sum(bits * weights[None, None, None, :], axis=-1,
+                   dtype=jnp.uint8)
+
+
 def gaussian_blur_stack(stack, ksize: int = 7, sigma: float = 2.0):
     """Separable 7x7 blur over [L, H, W] (reflect padding on the canvas;
     levels occupying the top-left corner see zeros past their true edge —

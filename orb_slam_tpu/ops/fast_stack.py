@@ -81,7 +81,7 @@ def build_pyramid_stack(img, n_levels: int, scale_factor: float,
     # Level 0 bypasses the matmul entirely (bit-exact original image).
     if consts is None:
         consts = pyramid_matrices(H, W, n_levels, scale_factor)
-    Rp, Cp = consts
+    Rp, Cp = consts[0], consts[1]
     rows = jnp.einsum(
         "lab,bw->law", jnp.asarray(Rp).astype(jnp.bfloat16),
         img.astype(jnp.bfloat16),

@@ -65,11 +65,12 @@ def gaussian_blur(img, ksize: int = 7, sigma: float = 2.0):
 
 
 def to_grayscale(img):
-    """uint8 RGB/BGR [H,W,3] or gray [H,W] -> float32 [H,W].
+    """uint8 RGB/BGR [...,H,W,3] or gray [...,H,W] -> float32 [...,H,W].
     Uses the OpenCV RGB2GRAY weights (reference converts with cvtColor,
-    src/Tracking.cc:189-197)."""
+    src/Tracking.cc:189-197). Accepts leading batch dims; color is
+    detected by a trailing channel axis of size 3."""
     img = jnp.asarray(img)
-    if img.ndim == 3:
+    if img.ndim >= 3 and img.shape[-1] == 3:
         w = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
         return jnp.round(img.astype(jnp.float32) @ w)
     return img.astype(jnp.float32)

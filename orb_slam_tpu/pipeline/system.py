@@ -51,6 +51,16 @@ STATE_NAMES = {0: "NO_IMAGES_YET", 1: "NOT_INITIALIZED", 2: "INITIALIZING",
                3: "WORKING", 4: "LOST"}
 
 
+def _np_se3_inverse(T):
+    """Analytic SE3 inverse (host mirror of geometry.se3_inverse — the same
+    arithmetic keeps chunked and sequential tracking bit-identical)."""
+    Rt = T[:3, :3].T
+    out = np.eye(4, dtype=np.float32)
+    out[:3, :3] = Rt
+    out[:3, 3] = -(Rt @ T[:3, 3])
+    return out
+
+
 @dataclass
 class SlamConfig:
     camera: CameraModel = None
@@ -79,6 +89,9 @@ class SlamConfig:
     bow_slots: int = 0                # 0 = n_features (every word can be unique)
     min_reloc_inliers: int = 50       # reference: Tracking.cc:948-995
     use_motion_model: bool = True     # reference UseMotionModel setting
+    track_chunk_size: int = 8         # frames per device dispatch in
+                                      # process_batch (scan-chained tracking;
+                                      # 1 = per-frame dispatch)
     mapper_latency_frames: int = 0    # optional sequential-mode stand-in for
                                       # the reference's AcceptKeyFrames
                                       # backpressure (0 = mapper always idle,
@@ -146,7 +159,8 @@ class SLAMSystem:
             extractor = self.extractor_init if init else self.extractor
             if extractor.stacked:
                 def fn(img, consts):
-                    feats = _extract_stacked(img, consts, config=orb_cfg)
+                    feats = _extract_stacked(img, consts, config=orb_cfg,
+                                             use_pallas=extractor.use_pallas)
                     xy_und = undistort_points(cam, feats.xy)
                     return feats, xy_und
             else:
@@ -214,67 +228,160 @@ class SLAMSystem:
 
     # ------------------------------------------------------------------ entry
 
-    def process_batch(self, images, timestamps=None):
-        """Offline/throughput mode: extract batches of frames in ONE device
-        program (vmapped extractor — extraction has no sequential
-        dependency), then track them in order. Returns a list of poses
-        (None where untracked). On directly-attached TPUs this amortizes
-        per-dispatch overhead B-fold; results are identical to calling
-        process() per frame — frames before initialization run through the
-        sequential path (they use the 2x-feature init extractor,
-        Tracking.cc:199-202)."""
+    def process_batch(self, images, timestamps=None, chunk_size=None):
+        """Offline/throughput mode: process frames in fixed-size chunks,
+        each chunk ONE device program (vmapped extraction + lax.scan-chained
+        tracking — see track_kernels.track_chunk). The host syncs once per
+        chunk, inspects per-frame inlier counts, and re-enters mid-chunk
+        only at keyframe / lost events (where the reference's tracking loop
+        touches shared state, Tracking.cc:168-315). Returns a list of poses
+        (None where untracked); results match calling process() per frame.
+        Frames before initialization run through the sequential path (they
+        use the 2x-feature init extractor, Tracking.cc:199-202)."""
         B = len(images)
         if timestamps is None:
             timestamps = [None] * B
+        C = chunk_size or self.cfg.track_chunk_size
         poses = []
         i = 0
         while i < B:
-            if self.state not in (WORKING, LOST):
-                # pre-init states: sequential path (init extractor)
+            if self.state != WORKING or C <= 1 or B - i == 1:
+                # pre-init / lost / tail: sequential path (init extractor,
+                # host-side relocalisation)
                 poses.append(self.process(img=images[i],
                                           timestamp=timestamps[i]))
                 i += 1
                 continue
-            # batch-extract the remaining frames; re-enter if a mid-batch
-            # auto-reset drops back to an init state
-            feats, xy_und = self._batch_extract(images[i:])
-            for b in range(B - i):
-                fb = jax.tree.map(lambda x: x[b], feats)
-                ts = (timestamps[i + b] if timestamps[i + b] is not None
-                      else self.frame_id / 30.0)
-                frame = FrameData(xy_und[b], fb.desc_u32, fb.octave,
-                                  fb.angle, fb.valid, self.frame_id, ts)
-                self.frame_id += 1
-                poses.append(self._track(frame))
-                if self.state not in (WORKING, LOST):
-                    break
-            i += b + 1
+            n = min(C, B - i)
+            feats, xy_und, chunk = self._chunk_extract_track(
+                images[i:i + n], C)
+            consumed, chunk_poses = self._apply_chunk(
+                feats, xy_und, chunk, n, timestamps[i:i + n])
+            poses.extend(chunk_poses)
+            i += consumed
         return poses
 
-    def _batch_extract(self, images):
-        """Vmapped extraction of a list of images in one device program."""
+    def _chunk_extract_track(self, images, C):
+        """ONE device program: grayscale + vmapped extraction + undistortion
+        + scan-chained tracking of up to C frames against the current map
+        snapshot. The image list is padded to C by repeating the last frame
+        (fixed compile shape); padded outputs are ignored by the caller."""
         from functools import partial as _partial
         from orb_slam_tpu.frontend.orb_extractor import _extract_stacked
+        from orb_slam_tpu.pipeline.track_kernels import _track_chunk_body
         from orb_slam_tpu.utils.dispatch import fused_jit
 
-        gray = jnp.stack([to_grayscale(jnp.asarray(im)) for im in images])
-        shape = tuple(gray.shape[1:])
-        key = ("batch", shape, len(images))
-        if not hasattr(self, "_batch_jit"):
-            self._batch_jit = {}
-        if key not in self._batch_jit:
-            cam = self.cfg.camera
+        imgs_np = [np.asarray(im) for im in images]
+        imgs_np += [imgs_np[-1]] * (C - len(imgs_np))
+        batch = np.stack(imgs_np)
+        shape = tuple(batch.shape[1:])
+        key = (shape, C)
+        if not hasattr(self, "_chunk_jit"):
+            self._chunk_jit = {}
+        if key not in self._chunk_jit:
+            cfg = self.cfg
+            cam = cfg.camera
 
-            def fn(imgs, consts):
+            def fn(imgs, consts, state, pose0, vel0):
+                gray = to_grayscale(imgs)
                 feats = jax.vmap(
-                    _partial(_extract_stacked, config=self.cfg.orb),
-                    in_axes=(0, None))(imgs, consts)
+                    _partial(_extract_stacked, config=cfg.orb,
+                             use_pallas=self.extractor.use_pallas),
+                    in_axes=(0, None))(gray, consts)
                 xy_und = undistort_points(cam, feats.xy)
-                return feats, xy_und
+                chunk = _track_chunk_body(
+                    state, xy_und, feats.desc_u32, feats.octave,
+                    feats.valid, pose0, vel0, self.K_dev,
+                    p_local=cfg.p_local, width=cam.width, height=cam.height,
+                    radius=cfg.track_radius,
+                    min_inliers=cfg.min_track_inliers,
+                    use_motion_model=cfg.use_motion_model,
+                )
+                return feats, xy_und, chunk
 
-            self._batch_jit[key] = fused_jit(fn)
-        return self._batch_jit[key](
-            gray, self.extractor.pyramid_consts(shape))
+            self._chunk_jit[key] = fused_jit(fn)
+        gray_shape = shape[:2]
+        return self._chunk_jit[key](
+            jnp.asarray(batch), self.extractor.pyramid_consts(gray_shape),
+            self.map, jnp.asarray(self.last_pose), jnp.asarray(self.velocity))
+
+    def _apply_chunk(self, feats, xy_und, chunk, n, ts_list):
+        """Host-side replay of the chunk's per-frame results: trajectory,
+        velocity, visibility counters, keyframe policy, lost handling —
+        byte-for-byte the logic of _track, applied after the fact. Returns
+        (frames consumed, poses). Stops early at the first keyframe or lost
+        event; the caller re-enters with the updated map."""
+        cfg = self.cfg
+        cn_in = np.asarray(chunk.n_inliers)
+        cposes = np.asarray(chunk.pose)
+        cobs = np.asarray(chunk.obs)
+        cvis = np.asarray(chunk.visible)
+        P = cvis.shape[1]
+        vis_sum = np.zeros(P, np.int32)
+        found_sum = np.zeros(P, np.int32)
+        counters_dirty = False
+
+        def _flush_counters():
+            nonlocal counters_dirty
+            if counters_dirty:
+                self.map = self.map._replace(
+                    pt_visible=self.map.pt_visible + jnp.asarray(vis_sum),
+                    pt_found=self.map.pt_found + jnp.asarray(found_sum),
+                )
+                counters_dirty = False
+
+        def _frame_data(b, fid, ts):
+            return FrameData(
+                xy_und[b], feats.desc_u32[b], feats.octave[b],
+                feats.angle[b], feats.valid[b], fid, ts)
+
+        poses_out = []
+        consumed = n
+        for b in range(n):
+            fid = self.frame_id
+            self.frame_id += 1
+            ts = ts_list[b] if ts_list[b] is not None else fid / 30.0
+            n_in = int(cn_in[b])
+            if n_in < cfg.min_track_inliers:
+                # lost branch (counters for a lost frame are NOT applied —
+                # _track returns before _apply_counters)
+                self.state = LOST
+                self.lost_count += 1
+                self.velocity = np.eye(4, dtype=np.float32)
+                consumed = b + 1
+                if self.n_keyframes <= 5 and self.kf_counter <= 5:
+                    self.reset()
+                    poses_out.append(None)
+                    return consumed, poses_out
+                _flush_counters()
+                if cfg.enable_relocalisation and self.db is not None \
+                        and self._relocalize(_frame_data(b, fid, ts)):
+                    poses_out.append(self.last_pose.copy())
+                else:
+                    poses_out.append(None)
+                return consumed, poses_out
+
+            self.state = WORKING
+            T_new = cposes[b]
+            vis_sum += cvis[b]
+            pids = cobs[b][cobs[b] >= 0]
+            np.add.at(found_sum, pids, 1)
+            counters_dirty = True
+            self.velocity = (
+                T_new @ _np_se3_inverse(self.last_pose)).astype(np.float32)
+            self.last_pose = T_new.astype(np.float32)
+            self.trajectory.append((fid, ts, self.last_pose.copy()))
+            poses_out.append(self.last_pose.copy())
+
+            if self._need_new_keyframe(fid, n_in):
+                _flush_counters()
+                self._create_keyframe(
+                    _frame_data(b, fid, ts), chunk.obs[b], n_in)
+                consumed = b + 1
+                return consumed, poses_out
+
+        _flush_counters()
+        return consumed, poses_out
 
     def process(self, img=None, features=None, timestamp=None):
         """Process one frame; returns the tracked pose (numpy [4,4]) or
@@ -517,11 +624,11 @@ class SLAMSystem:
         T_new = np.asarray(res.pose)
         self._apply_counters(res)
         # motion model: velocity = T_new @ inv(T_last)  (Tracking.cc:282-295)
-        self.velocity = (T_new @ np.linalg.inv(self.last_pose)).astype(np.float32)
+        self.velocity = (T_new @ _np_se3_inverse(self.last_pose)).astype(np.float32)
         self.last_pose = T_new
         self.trajectory.append((frame.frame_id, frame.timestamp, T_new.copy()))
 
-        if self._need_new_keyframe(frame, n_in):
+        if self._need_new_keyframe(frame.frame_id, n_in):
             self._create_keyframe(frame, res.obs, n_in)
         return T_new
 
@@ -542,12 +649,12 @@ class SLAMSystem:
         return (self.frame_id - self.last_kf_frame
                 >= self.cfg.mapper_latency_frames)
 
-    def _need_new_keyframe(self, frame: FrameData, n_inliers: int) -> bool:
+    def _need_new_keyframe(self, frame_id: int, n_inliers: int) -> bool:
         """Reference policy c1a/c1b/c2 (src/Tracking.cc:625-663)."""
         cfg = self.cfg
         if not self.free_pt or not self.free_kf:
             return False
-        since = frame.frame_id - self.last_kf_frame
+        since = frame_id - self.last_kf_frame
         c1a = since >= cfg.max_frames_between_kf
         c1b = since >= cfg.min_frames_between_kf and self._mapper_accepting()
         # c2: tracking degraded vs the reference keyframe

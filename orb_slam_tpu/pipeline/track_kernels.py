@@ -19,6 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from orb_slam_tpu.geometry.se3 import se3_inverse
 from orb_slam_tpu.ops.matching import match, TH_HIGH
 from orb_slam_tpu.solvers.pose_opt import pose_optimize
 from orb_slam_tpu.slam_map.map_state import MapState
@@ -70,12 +71,7 @@ def frustum_gate(state: MapState, T_cw, K_mat, width, height,
     return visible, proj, pred, dist
 
 
-@partial(
-    fused_jit,
-    static_argnames=("p_local", "width", "height", "radius", "n_levels",
-                     "max_dist"),
-)
-def track_frame(
+def _track_body(
     state: MapState,
     feat_xy,          # [N,2] undistorted keypoint pixels
     feat_desc,        # [N,8] u32
@@ -101,9 +97,13 @@ def track_frame(
     )
 
     # --- select up to p_local visible candidates (stable order by id) ---
+    # NOTE: selection is a pure function of the map snapshot + pose: lowest
+    # slot id wins on overflow (slot ids correlate with age, so the most
+    # established points survive). A found-counter tiebreak was measured
+    # equivalent but makes candidate order depend on per-frame counter
+    # updates, which breaks scan-chained tracking (track_chunk) bitwise
+    # reproducibility against the sequential path.
     score = visible.astype(jnp.float32)
-    # prefer points with more FOUND history on overflow (stability)
-    score = score * (1.0 + jnp.minimum(state.pt_found.astype(jnp.float32), 100.0) * 1e-3)
     _, sel = jax.lax.top_k(score, p_local)
     sel_ok = visible[sel]
 
@@ -166,3 +166,94 @@ def track_frame(
         visible_inc=visible_inc,
         found_inc=found_inc,
     )
+
+
+track_frame = partial(
+    fused_jit,
+    static_argnames=("p_local", "width", "height", "radius", "n_levels",
+                     "max_dist"),
+)(_track_body)
+
+
+class ChunkResult(NamedTuple):
+    """Per-frame outputs of a scan-chained tracking chunk (leading axis B)."""
+
+    pose: jnp.ndarray        # [B,4,4]
+    obs: jnp.ndarray         # [B,N] i32
+    n_inliers: jnp.ndarray   # [B] i32
+    n_matches: jnp.ndarray   # [B] i32
+    visible: jnp.ndarray     # [B,P] bool (frustum-visible per frame)
+
+
+def _track_chunk_body(
+    state: MapState,
+    feats_xy,         # [B,N,2]
+    feats_desc,       # [B,N,8] u32
+    feats_octave,     # [B,N] i32
+    feats_valid,      # [B,N] bool
+    pose0,            # [4,4] pose of the frame BEFORE the chunk
+    vel0,             # [4,4] motion-model velocity entering the chunk
+    K_mat,
+    *,
+    p_local: int = 4096,
+    width: int = 640,
+    height: int = 480,
+    radius: float = 15.0,
+    max_dist: int = TH_HIGH,
+    min_inliers: int = 30,
+    use_motion_model: bool = True,
+) -> ChunkResult:
+    """Track B frames against ONE map snapshot in a single device program.
+
+    Between keyframes the reference's tracking loop is a pure recurrence
+    pose_t -> pose_t+1 against a fixed local map (src/Tracking.cc:168-315):
+    nothing the tracker writes (pose, velocity, visibility counters) feeds
+    back into the map until a keyframe is created. That makes B frames of
+    tracking ONE lax.scan — a single dispatch instead of B host round
+    trips. The host inspects per-frame inlier counts afterwards and
+    re-enters mid-chunk only at keyframe/lost events (the only points where
+    the reference's loop touches shared state).
+
+    Each scan step replicates SLAMSystem._track exactly: motion-model
+    prediction, the wide-window no-motion-model retry on low inliers
+    (Tracking.cc:486-552), and the velocity update T_new @ inv(T_last)
+    (Tracking.cc:282-295). On a lost frame the carried pose/velocity are
+    held (the host truncates the chunk there anyway)."""
+
+    def step(carry, fr):
+        pose, vel = carry
+        xy, desc, octv, val = fr
+        T_pred = (vel @ pose) if use_motion_model else pose
+        res = _track_body(
+            state, xy, desc, octv, val, T_pred, K_mat,
+            p_local=p_local, width=width, height=height,
+            radius=radius, max_dist=max_dist,
+        )
+
+        def _retry(_):
+            return _track_body(
+                state, xy, desc, octv, val, pose, K_mat,
+                p_local=p_local, width=width, height=height,
+                radius=radius * 2.0, max_dist=max_dist,
+            )
+
+        res = jax.lax.cond(
+            res.n_inliers < min_inliers, _retry, lambda _: res, None)
+        ok = res.n_inliers >= min_inliers
+        new_pose = jnp.where(ok, res.pose, pose)
+        new_vel = jnp.where(ok, res.pose @ se3_inverse(pose), jnp.eye(4))
+        out = (res.pose, res.obs, res.n_inliers, res.n_matches,
+               res.visible_inc.astype(bool))
+        return (new_pose, new_vel), out
+
+    frames = (feats_xy, feats_desc, feats_octave, feats_valid)
+    _, (poses, obs, n_in, n_m, vis) = jax.lax.scan(
+        step, (pose0, vel0), frames)
+    return ChunkResult(poses, obs, n_in, n_m, vis)
+
+
+track_chunk = partial(
+    fused_jit,
+    static_argnames=("p_local", "width", "height", "radius", "max_dist",
+                     "min_inliers", "use_motion_model"),
+)(_track_chunk_body)

@@ -91,7 +91,25 @@ def _gn_rounds(T0, points, uv, inv_sigma2, valid, K, damping=1e-3,
         r, _, z = _residuals_jac(T, points, uv, K)
         chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
         inlier = valid & (chi2 <= chi2_th) & (z > 0)
-    return T, inlier
+    return orthonormalize_pose(T), inlier
+
+
+def orthonormalize_pose(T):
+    """Project T's rotation block back onto SO(3) (Gram-Schmidt).
+
+    The reference's g2o parametrizes poses as SE3Quat — quaternions keep R
+    exactly orthonormal through every update. Our 4x4-matrix chain of
+    f32 exp-compositions drifts off the manifold by ~1e-6 per solve, and
+    the motion-model velocity (T_new @ T_last^-1, chained every frame)
+    compounds that drift; projecting after each optimization is the
+    matrix-form equivalent of the quaternion normalization."""
+    R = T[:3, :3]
+    c0 = R[:, 0] / jnp.linalg.norm(R[:, 0])
+    c1 = R[:, 1] - jnp.dot(c0, R[:, 1]) * c0
+    c1 = c1 / jnp.linalg.norm(c1)
+    c2 = jnp.cross(c0, c1)
+    Rn = jnp.stack([c0, c1, c2], axis=1)
+    return T.at[:3, :3].set(Rn)
 
 
 @partial(fused_jit, static_argnames=("iters",))

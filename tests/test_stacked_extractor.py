@@ -22,7 +22,10 @@ def synthetic_image(rng, h=480, w=640, n_blobs=350):
 class TestStackedVsPerLevel:
     def test_same_keypoints_and_descriptors(self, rng):
         img = jnp.asarray(synthetic_image(rng))
-        cfg = ORBConfig(n_features=600)
+        # desc_lut_bins=0: continuous-rotation descriptors, directly
+        # comparable to the exact per-level path (the default LUT path
+        # discretizes orientation; see test_lut_matches_quantized_gather)
+        cfg = ORBConfig(n_features=600, desc_lut_bins=0)
         f_ref = ORBExtractor(cfg, stacked=False)(img)
         f_stk = ORBExtractor(cfg, stacked=True)(img)
 
@@ -73,3 +76,57 @@ class TestStackedVsPerLevel:
         assert np.median(ham) <= 2
         assert ham.mean() < 4.0
         assert np.percentile(ham, 90) <= 12
+
+
+class TestLUTDescriptors:
+    def test_lut_matches_direct_sampling(self, rng):
+        """The orientation-bin LUT matmul must reproduce EXACTLY the
+        descriptors obtained by directly gathering the rotated pattern
+        points (numpy, per keypoint) at the table's own sample indices —
+        i.e. the bf16 matmul formulation introduces zero error."""
+        import jax.numpy as jnp
+        from orb_slam_tpu.ops.descriptor_stack import (
+            rbrief_batch_lut, rbrief_lut_table, lut_sample_indices,
+            quantize_angle, gaussian_blur_stack, extract_patches_batch,
+        )
+        from orb_slam_tpu.ops.fast_stack import (
+            build_pyramid_stack, detect_keypoints_stack,
+        )
+        from orb_slam_tpu.ops.orb_descriptor import _RB_SIZE
+
+        img = jnp.asarray(synthetic_image(rng))
+        cfg = ORBConfig(n_features=300, n_levels=4)
+        quotas = tuple(cfg.level_quotas())
+        stack, shapes = build_pyramid_stack(img, cfg.n_levels,
+                                            cfg.scale_factor)
+        xy_l, _, valid_l = detect_keypoints_stack(
+            stack, tuple(shapes), quotas, th_ini=cfg.fast_th_ini,
+            th_min=cfg.fast_th_min, cell_size=cfg.cell_size,
+            border=cfg.edge_threshold)
+        blurred = jnp.round(gaussian_blur_stack(stack))
+        angles = jnp.asarray(
+            rng.uniform(-np.pi, np.pi, xy_l.shape[:2]).astype(np.float32))
+
+        n_bins = 30
+        table = jnp.asarray(rbrief_lut_table(n_bins), jnp.bfloat16)
+        d_lut = np.asarray(rbrief_batch_lut(
+            blurred, xy_l, angles, tuple(shapes), table, n_bins))
+
+        # expected: numpy per-keypoint gather at the table's indices
+        idx = lut_sample_indices(n_bins)                    # [A, 512]
+        bins = np.asarray(quantize_angle(angles, n_bins))   # [L, Q]
+        patches = np.asarray(extract_patches_batch(
+            blurred, xy_l, tuple(shapes), _RB_SIZE))
+        flat = patches.reshape(patches.shape[0], patches.shape[1], -1)
+        v = np.asarray(valid_l)
+        Lv, Q = v.shape
+        weights = np.asarray([1, 2, 4, 8, 16, 32, 64, 128], np.uint8)
+        for l in range(Lv):
+            for q in range(Q):
+                if not v[l, q]:
+                    continue
+                vals = flat[l, q][idx[bins[l, q]]]
+                bits = (vals[0::2] < vals[1::2]).astype(np.uint8)
+                exp = (bits.reshape(32, 8) * weights).sum(1).astype(np.uint8)
+                np.testing.assert_array_equal(d_lut[l, q], exp,
+                                              err_msg=f"l={l} q={q}")
