@@ -25,7 +25,7 @@ try:
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-from orb_slam_tpu.geometry.se3 import se3_exp
+from orb_slam_tpu.solvers.local_ba import _solve_iteration
 
 
 def make_mesh(n_devices: int | None = None, model_axis: int | None = None):
@@ -48,106 +48,22 @@ def make_mesh(n_devices: int | None = None, model_axis: int | None = None):
 
 # --------------------------------------------------------------------- BA
 
-def _edge_terms_flat(kf_pose, pt_pos, edge_kf, edge_uv, K_mat):
-    """Per-edge residual/Jacobians; edges are (point-block local).
-    pt_pos: [Pl, 3]; edge_kf: [Pl, O]; edge_uv: [Pl, O, 2]."""
-    T = kf_pose[edge_kf]              # [Pl,O,4,4]
-    fx, fy, cx, cy = K_mat[0, 0], K_mat[1, 1], K_mat[0, 2], K_mat[1, 2]
-    pc = jnp.einsum("poij,pj->poi", T[..., :3, :3], pt_pos) + T[..., :3, 3]
-    x, y, z = pc[..., 0], pc[..., 1], pc[..., 2]
-    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
-    u = fx * x / zs + cx
-    v = fy * y / zs + cy
-    r = jnp.stack([u - edge_uv[..., 0], v - edge_uv[..., 1]], -1)
-    iz = 1.0 / zs
-    iz2 = iz * iz
-    zero = jnp.zeros_like(iz)
-    du = jnp.stack([fx * iz, zero, -fx * x * iz2], -1)
-    dv = jnp.stack([zero, fy * iz, -fy * y * iz2], -1)
-    duv = jnp.stack([du, dv], -2)
-    hat = jnp.stack(
-        [jnp.stack([zero, -z, y], -1),
-         jnp.stack([z, zero, -x], -1),
-         jnp.stack([-y, x, zero], -1)], -2)
-    I3 = jnp.broadcast_to(jnp.eye(3), hat.shape)
-    Jc = duv @ jnp.concatenate([I3, -hat], -1)
-    Jp = duv @ T[..., :3, :3]
-    return r, Jc, Jp, z
-
-
 def sharded_ba_step(mesh: Mesh, n_cams: int, damping: float = 1e-3):
-    """Build a jitted sharded BA Gauss-Newton step.
+    """Build a jitted sharded BA Gauss-Newton step over raw edge arrays
+    (a thin shard_map wrapper around the production solver iteration,
+    solvers.local_ba._solve_iteration — one psum reduces the camera
+    system; the full adaptive-LM loop is bundle_adjust(mesh=...)).
 
     Array layout: kf_pose [K,4,4] replicated; pt_pos [P,3], edge_kf [P,O],
     edge_uv [P,O,2], edge_w [P,O], pt_opt [P] sharded over 'data' on axis 0;
     cam_opt [K] replicated. Returns step(kf_pose, pt_pos, ...) -> (new
     kf_pose replicated, new pt_pos sharded)."""
-    Kk = n_cams
 
-    def local_step(kf_pose, pt_pos, edge_kf, edge_uv, edge_w, cam_opt, pt_opt, K_mat):
-        r, Jc, Jp, z = _edge_terms_flat(kf_pose, pt_pos, edge_kf, edge_uv, K_mat)
-        w = edge_w * (z > 0)
-        cam_is_opt = cam_opt[jnp.clip(edge_kf, 0, Kk - 1)]
-        Jc = jnp.where(cam_is_opt[..., None, None], Jc, 0.0)
-        wJc = Jc * w[..., None, None]
-        wJp = Jp * w[..., None, None]
-
-        Hpp = jnp.einsum("pokx,poky->pxy", wJp, Jp)
-        bp = jnp.einsum("pokx,pok->px", wJp, r)
-        Hpp = Hpp + damping * jnp.broadcast_to(jnp.eye(3), Hpp.shape)
-        Hpp = jnp.where(pt_opt[:, None, None], Hpp,
-                        jnp.broadcast_to(jnp.eye(3), Hpp.shape))
-        bp = jnp.where(pt_opt[:, None], bp, 0.0)
-        Hpp_inv = jnp.linalg.inv(Hpp)
-        L = jnp.linalg.cholesky(
-            0.5 * (Hpp_inv + jnp.swapaxes(Hpp_inv, -1, -2))
-            + 1e-12 * jnp.broadcast_to(jnp.eye(3), Hpp.shape))
-        L = jnp.where(jnp.isfinite(L), L, 0.0)
-
-        kf_idx = jnp.where(w > 0, edge_kf, Kk)
-        Hcc = jnp.zeros((Kk + 1, 6, 6)).at[kf_idx].add(
-            jnp.einsum("pokx,poky->poxy", wJc, Jc))
-        bc = jnp.zeros((Kk + 1, 6)).at[kf_idx].add(
-            jnp.einsum("pokx,pok->pox", wJc, r))
-        C = jnp.einsum("pokx,poky->poxy", wJc, Jp) * pt_opt[:, None, None, None]
-        D = jnp.einsum("poxy,pyz->poxz", C, L)
-        O = D.shape[1]
-        S = jnp.zeros((Kk + 1, Kk + 1, 6, 6))
-        for o2 in range(O):
-            V = jnp.einsum("poxz,pyz->poxy", D, D[:, o2])
-            cols = jnp.broadcast_to(kf_idx[:, o2:o2 + 1], kf_idx.shape)
-            S = S.at[kf_idx, cols].add(-V)
-        Hib = jnp.einsum("pxy,py->px", Hpp_inv, bp)
-        bc = bc.at[kf_idx].add(-jnp.einsum("poxy,py->pox", C, Hib))
-
-        # >>> the collective: reduce partial normal equations over 'data'
-        Hcc = jax.lax.psum(Hcc, "data")
-        S = jax.lax.psum(S, "data")
-        bc = jax.lax.psum(bc, "data")
-
-        H = S.at[jnp.arange(Kk + 1), jnp.arange(Kk + 1)].add(Hcc)[:Kk, :Kk]
-        b = bc[:Kk]
-        H = H.at[jnp.arange(Kk), jnp.arange(Kk)].add(
-            jnp.where(cam_opt, damping, 0.0)[:, None, None] * jnp.eye(6)[None])
-        fixed = ~cam_opt
-        H = jnp.where(fixed[:, None, None, None], 0.0, H)
-        H = jnp.where(fixed[None, :, None, None], 0.0, H)
-        H = H.at[jnp.arange(Kk), jnp.arange(Kk)].add(
-            fixed[:, None, None] * jnp.eye(6)[None])
-        b = jnp.where(fixed[:, None], 0.0, b)
-        dxc = jnp.linalg.solve(
-            H.transpose(0, 2, 1, 3).reshape(Kk * 6, Kk * 6), -b.reshape(Kk * 6)
-        ).reshape(Kk, 6)
-        dxc = jnp.where(jnp.isfinite(dxc), dxc, 0.0)
-
-        dxc_pad = jnp.concatenate([dxc, jnp.zeros((1, 6))], 0)
-        Ct_dx = jnp.einsum("poxy,pox->py", C, dxc_pad[kf_idx])
-        dxp = jnp.einsum("pxy,py->px", Hpp_inv, -bp - Ct_dx)
-        dxp = jnp.where(jnp.isfinite(dxp), dxp, 0.0) * pt_opt[:, None]
-
-        new_pose = jnp.where(
-            cam_opt[:, None, None], jax.vmap(se3_exp)(dxc) @ kf_pose, kf_pose)
-        return new_pose, pt_pos + dxp
+    def local_step(kf_pose, pt_pos, edge_kf, edge_uv, edge_w, cam_opt,
+                   pt_opt, K_mat):
+        return _solve_iteration(
+            kf_pose, pt_pos, edge_w, edge_kf, edge_uv, K_mat,
+            cam_opt, pt_opt, damping, axis_name="data")
 
     sharded = shard_map(
         local_step,

@@ -92,6 +92,11 @@ class SlamConfig:
     track_chunk_size: int = 8         # frames per device dispatch in
                                       # process_batch (scan-chained tracking;
                                       # 1 = per-frame dispatch)
+    mesh: object = None               # optional jax.sharding.Mesh ('data'
+                                      # axis): bundle adjustment shards its
+                                      # points/edges across the mesh (psum-
+                                      # reduced camera system over ICI);
+                                      # results identical to single-device
     mapper_latency_frames: int = 0    # optional sequential-mode stand-in for
                                       # the reference's AcceptKeyFrames
                                       # backpressure (0 = mapper always idle,
@@ -527,7 +532,8 @@ class SLAMSystem:
         cam_opt = jnp.zeros(cfg.map.max_keyframes, bool).at[k2].set(True)
         pt_opt = m.pt_valid
         m, outlier, (okf, ofeat) = bundle_adjust(
-            m, self.K_dev, cam_opt, pt_opt, iters1=10, iters2=10)
+            m, self.K_dev, cam_opt, pt_opt, iters1=10, iters2=10,
+            mesh=cfg.mesh)
         m = apply_edge_outliers(m, outlier, okf, ofeat, kill_starved=False)
         m = refresh_point_stats(m)
         self.map = m
@@ -911,7 +917,8 @@ class SLAMSystem:
         # Local BA in two abortable phases (g2o's setForceStopFlag semantics,
         # Optimizer.cc:351-352): a newly queued keyframe interrupts phase 2.
         m, outlier, (okf, ofeat) = bundle_adjust(
-            m, self.K_dev, cam_opt, pt_opt, iters1=5, iters2=0)
+            m, self.K_dev, cam_opt, pt_opt, iters1=5, iters2=0,
+            mesh=cfg.mesh)
         if DEBUG:
             dbg(f"kf{new_kf}: BA1 outlier-edges {int(jnp.sum(outlier))} "
                 f"valid {int(jnp.sum(m.pt_valid))}")
@@ -920,7 +927,8 @@ class SLAMSystem:
             dbg(f"kf{new_kf}: after BA1 eject valid {int(jnp.sum(m.pt_valid))}")
         if not aborted():
             m, outlier, (okf, ofeat) = bundle_adjust(
-                m, self.K_dev, cam_opt, pt_opt, iters1=0, iters2=10)
+                m, self.K_dev, cam_opt, pt_opt, iters1=0, iters2=10,
+                mesh=cfg.mesh)
             if DEBUG:
                 dbg(f"kf{new_kf}: BA2 outlier-edges {int(jnp.sum(outlier))}")
             m = apply_edge_outliers(m, outlier, okf, ofeat)

@@ -38,16 +38,17 @@ CHI2_MONO = 5.991
 HUBER_DELTA = jnp.sqrt(CHI2_MONO)
 
 
-def _edge_terms(kf_pose, pt_pos, obs_kf, obs_feat, kf_xy, K_mat):
+def _edge_terms(kf_pose, pt_pos, obs_kf, uv, K_mat):
     """Residuals + Jacobians for every (point, obs) edge.
 
+    uv: [P,O,2] observed pixels (gathered once from kf_xy by the caller —
+    constant across solver iterations, and it keeps this function free of
+    the [K,N] arrays so the sharded path can pass per-shard edge slices).
     Returns r [P,O,2], Jc [P,O,2,6] (camera, left-mult convention),
     Jp [P,O,2,3] (point), z [P,O] depth."""
-    Kk, N = kf_xy.shape[0], kf_xy.shape[1]
+    Kk = kf_pose.shape[0]
     kf_safe = jnp.clip(obs_kf, 0, Kk - 1)
-    feat_safe = jnp.clip(obs_feat, 0, N - 1)
     T = kf_pose[kf_safe]              # [P,O,4,4]
-    uv = kf_xy[kf_safe, feat_safe]    # [P,O,2]
     fx, fy, cx, cy = K_mat[0, 0], K_mat[1, 1], K_mat[0, 2], K_mat[1, 2]
 
     pc = jnp.einsum("poij,pj->poi", T[..., :3, :3], pt_pos) + T[..., :3, 3]
@@ -79,13 +80,19 @@ def _edge_terms(kf_pose, pt_pos, obs_kf, obs_feat, kf_xy, K_mat):
     return r, Jc, Jp, z
 
 
-def _solve_iteration(kf_pose, pt_pos, edge_w, obs_kf, obs_feat, kf_xy,
-                     K_mat, cam_opt, pt_opt, damping):
+def _solve_iteration(kf_pose, pt_pos, edge_w, obs_kf, uv,
+                     K_mat, cam_opt, pt_opt, damping, axis_name=None):
     """One Gauss-Newton step. edge_w: [P,O] weights (0 = excluded edge,
-    else information * Huber). Returns (new kf_pose, new pt_pos)."""
+    else information * Huber). Returns (new kf_pose, new pt_pos).
+
+    axis_name: when running inside shard_map with points/edges sharded
+    over that mesh axis, the reduced camera system (Hcc, Schur S, bc) is
+    psum'd across shards before the (replicated) dense solve — the
+    scaling-book recipe: local partial normal equations + one collective.
+    Point updates never leave their shard."""
     P, O = edge_w.shape
     Kk = kf_pose.shape[0]
-    r, Jc, Jp, z = _edge_terms(kf_pose, pt_pos, obs_kf, obs_feat, kf_xy, K_mat)
+    r, Jc, Jp, z = _edge_terms(kf_pose, pt_pos, obs_kf, uv, K_mat)
     w = edge_w * (z > 0)
     # zero camera Jacobians of fixed cameras (they still constrain points)
     cam_is_opt = cam_opt[jnp.clip(obs_kf, 0, Kk - 1)]  # [P,O]
@@ -131,6 +138,12 @@ def _solve_iteration(kf_pose, pt_pos, edge_w, obs_kf, obs_feat, kf_xy,
     bred_contrib = jnp.einsum("poxy,py->pox", C, Hib)
     bc = bc.at[kf_idx].add(-bred_contrib)
 
+    if axis_name is not None:
+        # >>> the collective: reduce partial normal equations over shards
+        Hcc = jax.lax.psum(Hcc, axis_name)
+        S = jax.lax.psum(S, axis_name)
+        bc = jax.lax.psum(bc, axis_name)
+
     H = S.at[jnp.arange(Kk + 1), jnp.arange(Kk + 1)].add(Hcc)
     H = H[:Kk, :Kk]
     b = bc[:Kk]
@@ -169,48 +182,32 @@ def _solve_iteration(kf_pose, pt_pos, edge_w, obs_kf, obs_feat, kf_xy,
     return new_pose, new_pts
 
 
-def _edge_chi2(kf_pose, pt_pos, obs_kf, obs_feat, kf_xy, K_mat, inv_sigma2):
-    r, _, _, z = _edge_terms(kf_pose, pt_pos, obs_kf, obs_feat, kf_xy, K_mat)
+def _edge_chi2(kf_pose, pt_pos, obs_kf, uv, K_mat, inv_sigma2):
+    r, _, _, z = _edge_terms(kf_pose, pt_pos, obs_kf, uv, K_mat)
     chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
     return chi2, z
 
 
-@partial(fused_jit, static_argnames=("iters1", "iters2"))
-def bundle_adjust(
-    state: MapState,
-    K_mat,
-    cam_opt,
-    pt_opt,
-    iters1: int = 5,
-    iters2: int = 10,
-    damping: float = 1e-3,
-):
-    """Run (local or global) BA over the MapState.
+def _ba_core(kf_pose, pt_pos, obs_kf, uv, inv_sigma2, edge_on,
+             cam_opt, pt_opt, K_mat, *, iters1, iters2, damping,
+             axis_name=None):
+    """The BA solver body, shared by the single-device and sharded paths.
 
-    cam_opt: [K] bool — cameras to optimize (fixed-boundary cameras False
-    but still constrain points; invalid slots False).
-    pt_opt: [P] bool — points to optimize; edges to non-opt points ignored
-    (matches reference local-BA edge selection, Optimizer.cc:289-338).
-    Returns (new_state, edge_outlier [P, O] bool, obs table (kf, feat))."""
-    obs_kf, obs_feat, obs_valid = observation_table(state)
-    P, O = obs_kf.shape
-    Kk, N = state.kf_xy.shape[0], state.kf_xy.shape[1]
-    kf_safe = jnp.clip(obs_kf, 0, Kk - 1)
-    feat_safe = jnp.clip(obs_feat, 0, N - 1)
-    octv = state.kf_octave[kf_safe, feat_safe]
-    inv_sigma2 = 1.0 / (1.2 ** (2.0 * octv.astype(jnp.float32)))
+    All [P,...] arrays (pt_pos, obs_kf, uv, inv_sigma2, edge_on, pt_opt)
+    may be per-shard slices when called inside shard_map with `axis_name`
+    set; kf_pose/cam_opt/K_mat are replicated and the reduced camera
+    system is psum'd (see _solve_iteration)."""
 
-    edge_on = obs_valid & pt_opt[:, None]
-    kf_pose, pt_pos = state.kf_pose, state.pt_pos
+    def psum(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
     def robust_cost(kf_pose, pt_pos, edge_on):
         """Total Huber cost over active edges (the LM acceptance metric)."""
-        chi2, z = _edge_chi2(kf_pose, pt_pos, obs_kf, obs_feat, state.kf_xy,
-                             K_mat, inv_sigma2)
+        chi2, z = _edge_chi2(kf_pose, pt_pos, obs_kf, uv, K_mat, inv_sigma2)
         e = jnp.sqrt(jnp.maximum(chi2, 1e-12))
         rho = jnp.where(e <= HUBER_DELTA, chi2,
                         2.0 * HUBER_DELTA * e - HUBER_DELTA ** 2)
-        return jnp.sum(rho * (edge_on & (z > 0)))
+        return psum(jnp.sum(rho * (edge_on & (z > 0))))
 
     def phase(carry, n_iters, gate_chi2):
         # adaptive-lambda Levenberg-Marquardt (the reference's g2o
@@ -224,14 +221,14 @@ def bundle_adjust(
 
         def step(_, c):
             kf_pose, pt_pos, lam = c
-            chi2, z = _edge_chi2(kf_pose, pt_pos, obs_kf, obs_feat,
-                                 state.kf_xy, K_mat, inv_sigma2)
+            chi2, z = _edge_chi2(kf_pose, pt_pos, obs_kf, uv, K_mat,
+                                 inv_sigma2)
             e = jnp.sqrt(jnp.maximum(chi2, 1e-12))
             w_huber = jnp.where(e <= HUBER_DELTA, 1.0, HUBER_DELTA / e)
             w = inv_sigma2 * w_huber * edge_on * (z > 0)
             new_pose, new_pts = _solve_iteration(
-                kf_pose, pt_pos, w, obs_kf, obs_feat,
-                state.kf_xy, K_mat, cam_opt, pt_opt, lam)
+                kf_pose, pt_pos, w, obs_kf, uv,
+                K_mat, cam_opt, pt_opt, lam, axis_name=axis_name)
             cost0 = robust_cost(kf_pose, pt_pos, edge_on)
             cost1 = robust_cost(new_pose, new_pts, edge_on)
             accept = cost1 < cost0
@@ -243,8 +240,7 @@ def bundle_adjust(
 
         kf_pose, pt_pos, lam = jax.lax.fori_loop(
             0, n_iters, step, (kf_pose, pt_pos, lam))
-        chi2, z = _edge_chi2(kf_pose, pt_pos, obs_kf, obs_feat, state.kf_xy,
-                             K_mat, inv_sigma2)
+        chi2, z = _edge_chi2(kf_pose, pt_pos, obs_kf, uv, K_mat, inv_sigma2)
         edge_on = edge_on & (chi2 <= gate_chi2) & (z > 0)
         return (kf_pose, pt_pos, edge_on, lam)
 
@@ -252,10 +248,114 @@ def bundle_adjust(
     carry = phase(carry, iters1, CHI2_MONO)
     carry = phase(carry, iters2, CHI2_MONO)
     kf_pose, pt_pos, edge_in, _ = carry
+    return kf_pose, pt_pos, edge_in
 
+
+def _ba_inputs(state: MapState, pt_opt):
+    """Observation table + per-edge uv / information / initial mask."""
+    obs_kf, obs_feat, obs_valid = observation_table(state)
+    Kk, N = state.kf_xy.shape[0], state.kf_xy.shape[1]
+    kf_safe = jnp.clip(obs_kf, 0, Kk - 1)
+    feat_safe = jnp.clip(obs_feat, 0, N - 1)
+    uv = state.kf_xy[kf_safe, feat_safe]
+    octv = state.kf_octave[kf_safe, feat_safe]
+    inv_sigma2 = 1.0 / (1.2 ** (2.0 * octv.astype(jnp.float32)))
+    edge_on = obs_valid & pt_opt[:, None]
+    return obs_kf, obs_feat, obs_valid, uv, inv_sigma2, edge_on
+
+
+@partial(fused_jit, static_argnames=("iters1", "iters2"))
+def _bundle_adjust_single(state, K_mat, cam_opt, pt_opt, iters1, iters2,
+                          damping):
+    obs_kf, obs_feat, obs_valid, uv, inv_sigma2, edge_on = _ba_inputs(
+        state, pt_opt)
+    kf_pose, pt_pos, edge_in = _ba_core(
+        state.kf_pose, state.pt_pos, obs_kf, uv, inv_sigma2, edge_on,
+        cam_opt, pt_opt, K_mat, iters1=iters1, iters2=iters2,
+        damping=damping)
     outlier = obs_valid & pt_opt[:, None] & ~edge_in
     new_state = state._replace(kf_pose=kf_pose, pt_pos=pt_pos)
     return new_state, outlier, (obs_kf, obs_feat)
+
+
+_SHARDED_BA_CACHE = {}
+
+
+def _bundle_adjust_sharded(mesh, iters1, iters2):
+    """Jitted sharded BA: points/edges sharded over the mesh's 'data' axis
+    (each shard owns a block of the observation table), cameras replicated,
+    one psum per solver iteration reduces the camera system over ICI."""
+    key = (mesh, iters1, iters2)
+    if key in _SHARDED_BA_CACHE:
+        return _SHARDED_BA_CACHE[key]
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as Pspec
+
+    core = partial(_ba_core, iters1=iters1, iters2=iters2, axis_name="data")
+
+    def with_damping(kf_pose, pt_pos, obs_kf, uv, inv_sigma2, edge_on,
+                     cam_opt, pt_opt, K_mat, damping):
+        return core(kf_pose, pt_pos, obs_kf, uv, inv_sigma2, edge_on,
+                    cam_opt, pt_opt, K_mat, damping=damping)
+
+    D = Pspec("data")
+    R = Pspec()
+    sharded = shard_map(
+        with_damping, mesh=mesh,
+        in_specs=(R, D, D, D, D, D, R, D, R, R),
+        out_specs=(R, D, D),
+        check_vma=False,
+    )
+
+    @partial(fused_jit)
+    def run(state, K_mat, cam_opt, pt_opt, damping):
+        obs_kf, obs_feat, obs_valid, uv, inv_sigma2, edge_on = _ba_inputs(
+            state, pt_opt)
+        kf_pose, pt_pos, edge_in = sharded(
+            state.kf_pose, state.pt_pos, obs_kf, uv, inv_sigma2, edge_on,
+            cam_opt, pt_opt, K_mat, jnp.float32(damping))
+        outlier = obs_valid & pt_opt[:, None] & ~edge_in
+        new_state = state._replace(kf_pose=kf_pose, pt_pos=pt_pos)
+        return new_state, outlier, (obs_kf, obs_feat)
+
+    _SHARDED_BA_CACHE[key] = run
+    return run
+
+
+def bundle_adjust(
+    state: MapState,
+    K_mat,
+    cam_opt,
+    pt_opt,
+    iters1: int = 5,
+    iters2: int = 10,
+    damping: float = 1e-3,
+    mesh=None,
+):
+    """Run (local or global) BA over the MapState.
+
+    cam_opt: [K] bool — cameras to optimize (fixed-boundary cameras False
+    but still constrain points; invalid slots False).
+    pt_opt: [P] bool — points to optimize; edges to non-opt points ignored
+    (matches reference local-BA edge selection, Optimizer.cc:289-338).
+    mesh: optional jax.sharding.Mesh with a 'data' axis — points/edges
+    shard across it; results are identical to the single-device path
+    (tests/test_parallel.py).
+    Returns (new_state, edge_outlier [P, O] bool, obs table (kf, feat))."""
+    if mesh is None:
+        return _bundle_adjust_single(state, K_mat, cam_opt, pt_opt,
+                                     iters1, iters2, damping)
+    n_data = mesh.shape["data"]
+    P = state.pt_valid.shape[0]
+    if P % n_data:
+        raise ValueError(
+            f"bundle_adjust: max_points={P} must divide the mesh 'data' "
+            f"axis ({n_data})")
+    return _bundle_adjust_sharded(mesh, iters1, iters2)(
+        state, K_mat, cam_opt, pt_opt, damping)
 
 
 @partial(fused_jit, static_argnames=("kill_starved",))
