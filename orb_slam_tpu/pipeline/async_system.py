@@ -29,6 +29,7 @@ import queue
 import threading
 import time
 
+import jax.numpy as jnp
 import numpy as np
 
 from orb_slam_tpu.pipeline.system import SLAMSystem, FrameData
@@ -71,11 +72,24 @@ class AsyncSLAMSystem(SLAMSystem):
     def _merge_pending(self):
         with self._lock:
             deltas, self._pending_deltas = self._pending_deltas, []
-        m = self.map
+        if not deltas:
+            return
+        # deltas were snapshotted against an older map: route each point's
+        # credit through the merge-forwarding table (IncreaseVisible/Found
+        # follow the Replace pointer in the reference, MapPoint.cc:141-148)
+        f = self.pt_forward
+        ok = f >= 0
+        P = f.shape[0]
+        vis_sum = np.zeros(P, np.int32)
+        fnd_sum = np.zeros(P, np.int32)
         for vis, fnd in deltas:
-            m = m._replace(pt_visible=m.pt_visible + vis,
-                           pt_found=m.pt_found + fnd)
-        self.map = m
+            v, fd = np.asarray(vis), np.asarray(fnd)
+            np.add.at(vis_sum, f[ok], v[ok])
+            np.add.at(fnd_sum, f[ok], fd[ok])
+        m = self.map
+        self.map = m._replace(
+            pt_visible=m.pt_visible + jnp.asarray(vis_sum),
+            pt_found=m.pt_found + jnp.asarray(fnd_sum))
 
     def _mapper_loop(self):
         while not self._shutdown:

@@ -296,10 +296,11 @@ class LoopCloser:
                 continue
             for src in cand_group:
                 if src != dst and kf_valid[src]:
-                    m, _, _ = fuse_into_keyframe(
+                    m, _, _, remap = fuse_into_keyframe(
                         m, src, dst, system.K_dev,
                         width=system.cfg.camera.width,
                         height=system.cfg.camera.height)
+                    system._compose_forward(remap)
         system._reclaim_points(m)
 
         # --- essential graph -------------------------------------------------

@@ -319,12 +319,18 @@ def fuse_into_keyframe(state: MapState, src_kf, dst_kf, K_mat,
         jnp.where(killed, remap, P)
     ].add(jnp.where(killed, state.pt_found, 0))[:P]
 
+    # the resolved remap is also returned so callers can maintain a
+    # persistent forwarding table for stale point ids held OUTSIDE the map
+    # (queued async keyframes) — the reference's MapPoint::Replace keeps
+    # mpReplaced pointers for exactly this (MapPoint.cc:124-158)
+    remap_out = jnp.where(killed & killed[jnp.clip(remap, 0, P - 1)],
+                          -1, remap)
     return state._replace(
         kf_obs=obs_remapped,
         pt_valid=pt_valid,
         pt_visible=state.pt_visible + add_vis,
         pt_found=state.pt_found + add_fnd,
-    ), jnp.sum(bind_free), jnp.sum(has_existing)
+    ), jnp.sum(bind_free), jnp.sum(has_existing), remap_out
 
 
 @fused_jit

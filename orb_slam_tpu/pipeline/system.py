@@ -205,6 +205,11 @@ class SLAMSystem:
         self.db = None
         self.loop_closer = None
         self.n_loops_closed = 0
+        # persistent merge-forwarding table (MapPoint::Replace's mpReplaced
+        # pointer, MapPoint.cc:124-158): point ids snapshotted OUTSIDE the
+        # map (queued async keyframes, buffered counter deltas) are resolved
+        # through it at integration time. -1 = id is dead with no successor.
+        self.pt_forward = np.arange(self.cfg.map.max_points, dtype=np.int32)
 
     # --------------------------------------------------------------- frontend
 
@@ -704,6 +709,7 @@ class SLAMSystem:
         (LocalMapping.cc:519-522)."""
         if pose is None:
             pose = self.last_pose
+        obs = self._resolve_obs(obs)
         slot = self._alloc_kf()
         m = insert_keyframe(
             self.map, slot, jnp.asarray(pose), frame.frame_id,
@@ -859,6 +865,15 @@ class SLAMSystem:
             m, n_created = insert_new_points(
                 m, new_kf, nb, cand, jnp.asarray(free))
             n_created = int(n_created)
+            if n_created:
+                # recycled slots hold NEW points now: forwarding entries
+                # still aimed at them are stale and must die, and the slots
+                # themselves become live identities again
+                reused = np.asarray(self.free_pt[:n_created])
+                stale = np.isin(self.pt_forward, reused)
+                stale[reused] = False
+                self.pt_forward[stale] = -1
+                self.pt_forward[reused] = reused
             dbg(f"kf{new_kf}: triangulated {n_created} with kf{nb}")
             if n_created:
                 self.free_pt = self.free_pt[n_created:]
@@ -885,12 +900,14 @@ class SLAMSystem:
                     fuse_targets.append(k2)
                     seen_t.add(k2)
         for nb in fuse_targets:
-            m, b1, g1 = fuse_into_keyframe(
+            m, b1, g1, remap1 = fuse_into_keyframe(
                 m, new_kf, nb, self.K_dev,
                 width=cfg.camera.width, height=cfg.camera.height)
-            m, b2, g2 = fuse_into_keyframe(
+            m, b2, g2, remap2 = fuse_into_keyframe(
                 m, nb, new_kf, self.K_dev,
                 width=cfg.camera.width, height=cfg.camera.height)
+            self._compose_forward(remap1)
+            self._compose_forward(remap2)
             if DEBUG:
                 dbg(f"kf{new_kf}<->kf{nb}: fuse bound {int(b1)}+{int(b2)} "
                     f"merged {int(g1)}+{int(g2)}")
@@ -960,6 +977,28 @@ class SLAMSystem:
         through the shared map like the reference's map-deformation +
         ForceRelocalisation path)."""
         self.last_pose = np.asarray(self.map.kf_pose[new_kf])
+
+    def _compose_forward(self, remap):
+        """Fold a fuse merge remap ([P] i32, -1 = dead end) into the
+        persistent forwarding table."""
+        r = np.asarray(remap)
+        f = self.pt_forward
+        ok = f >= 0
+        f[ok] = r[f[ok]]
+        self.pt_forward = f
+
+    def _resolve_obs(self, obs):
+        """Resolve possibly-stale feature->point bindings through the
+        forwarding table + current validity (the reference's pointer chase
+        through mpReplaced followed by isBad(), Tracking.cc:300-317 analog
+        for queued keyframes)."""
+        obs_np = np.asarray(obs)
+        P = self.pt_forward.shape[0]
+        tgt = np.where(obs_np >= 0,
+                       self.pt_forward[np.clip(obs_np, 0, P - 1)], -1)
+        pt_valid = np.asarray(self.map.pt_valid)
+        live = (tgt >= 0) & pt_valid[np.clip(tgt, 0, P - 1)]
+        return jnp.asarray(np.where(live, tgt, -1).astype(np.int32))
 
     def _reclaim_points(self, m: MapState):
         """Recompute the point free list from validity (slots freed by

@@ -76,3 +76,98 @@ class TestAsyncSystem:
         sys_.finish()
         assert sys_.n_points >= 0 and n_before >= 0
         sys_.close()
+
+
+class TestStaleBindingForwarding:
+    def test_resolve_obs_follows_merges_kills_and_reuse(self, rng):
+        """Unit semantics of the merge-forwarding table: a queued keyframe's
+        point ids must chase MapPoint::Replace-style merges, drop dead
+        points, and never rebind to an unrelated point recycled into the
+        same slot (VERDICT r1 weak #7)."""
+        scene = SyntheticScene(n_points=300, seed=11)
+        sys_ = make_async_system(scene, 200)
+        try:
+            P = sys_.cfg.map.max_points
+            # simulate a merge 5 -> 9 recorded by a fuse
+            remap = np.arange(P, dtype=np.int32)
+            remap[5] = 9
+            sys_._compose_forward(jnp.asarray(remap))
+            # and a later merge 9 -> 17 (chained across separate fuses)
+            remap2 = np.arange(P, dtype=np.int32)
+            remap2[9] = 17
+            sys_._compose_forward(jnp.asarray(remap2))
+            # mark 17 alive, 4 dead in the map
+            pv = np.zeros(P, bool)
+            pv[17] = True
+            sys_.map = sys_.map._replace(pt_valid=jnp.asarray(pv))
+
+            obs = np.full(200, -1, np.int32)
+            obs[0] = 5    # merged twice -> 17
+            obs[1] = 9    # merged once  -> 17
+            obs[2] = 4    # dead, no successor
+            obs[3] = 17   # direct live
+            out = np.asarray(sys_._resolve_obs(jnp.asarray(obs)))
+            assert out[0] == 17 and out[1] == 17
+            assert out[2] == -1
+            assert out[3] == 17
+            # slot 5 recycled into a NEW point: ids that forwarded to 5
+            # must die, and 5 itself becomes a live identity again
+            remap3 = np.arange(P, dtype=np.int32)
+            remap3[30] = 5
+            sys_._compose_forward(jnp.asarray(remap3))
+            sys_.free_pt = [5] + sys_.free_pt
+            # emulate the insert_new_points bookkeeping
+            reused = np.asarray([5])
+            stale = np.isin(sys_.pt_forward, reused)
+            stale[reused] = False
+            sys_.pt_forward[stale] = -1
+            sys_.pt_forward[reused] = reused
+            pv[5] = True
+            sys_.map = sys_.map._replace(pt_valid=jnp.asarray(pv))
+            obs2 = np.full(200, -1, np.int32)
+            obs2[0] = 30  # forwarded to 5 before reuse -> must be dropped
+            obs2[1] = 5   # direct reference to the NEW point: live
+            out2 = np.asarray(sys_._resolve_obs(jnp.asarray(obs2)))
+            assert out2[0] == -1
+            assert out2[1] == 5
+        finally:
+            sys_.close()
+
+    def test_interleaved_fuse_cull_no_bad_bindings(self):
+        """Stress: tracker races ahead of the mapper (keyframes queue up
+        while fuse/cull/BA mutate the map). Afterwards every surviving
+        observation must be geometrically consistent — a stale id rebound
+        to an unrelated point would reproject wildly."""
+        scene = SyntheticScene(n_points=500, seed=13)
+        sys_ = make_async_system(scene, 200)
+        try:
+            poses = lateral_trajectory(40, step=0.06)
+            for i in range(40):
+                sys_.process(features=scene.observe(poses[i], n_slots=200))
+                # no throttling: the queue is allowed to build depth
+            sys_.finish()
+            m = sys_.map
+            kf_valid = np.asarray(m.kf_valid)
+            obs = np.asarray(m.kf_obs)
+            pt_valid = np.asarray(m.pt_valid)
+            pos = np.asarray(m.pt_pos)
+            xy = np.asarray(m.kf_xy)
+            poses_cw = np.asarray(m.kf_pose)
+            K = np.asarray(sys_.K)
+            n_checked = 0
+            bad = 0
+            for k in np.where(kf_valid)[0]:
+                bound = obs[k] >= 0
+                ids = obs[k][bound]
+                assert pt_valid[ids].all(), "observation bound to dead point"
+                pc = pos[ids] @ poses_cw[k][:3, :3].T + poses_cw[k][:3, 3]
+                uv = (pc[:, :2] / pc[:, 2:3]) * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+                err = np.linalg.norm(uv - xy[k][bound], axis=1)
+                n_checked += len(err)
+                bad += int((err > 20.0).sum())
+            assert n_checked > 200
+            # a handful of high-residual edges survive legitimately (BA
+            # outlier gates lag one round); wholesale rebinding would not
+            assert bad < 0.02 * n_checked, (bad, n_checked)
+        finally:
+            sys_.close()

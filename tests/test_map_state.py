@@ -211,8 +211,11 @@ class TestFuseChainedMerges:
         )
         K_mat = jnp.asarray([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
 
-        m2, n_bound, n_merged = fuse_into_keyframe(m, 0, 1, K_mat)
+        m2, n_bound, n_merged, remap = fuse_into_keyframe(m, 0, 1, K_mat)
         assert int(n_merged) == 2
+        # the returned forwarding map resolves both losers to the winner
+        remap_np = np.asarray(remap)
+        assert remap_np[X] == Z and remap_np[Y] == Z and remap_np[Z] == Z
         # X and Y are dead, Z survives
         assert not bool(m2.pt_valid[X]) and not bool(m2.pt_valid[Y])
         assert bool(m2.pt_valid[Z])
