@@ -85,5 +85,135 @@ def fast_score_nms_pallas(stack, interpret: bool = False):
     return score, score >= mx
 
 
+def _make_packed_kernel(BH: int, BW: int, tree: bool = False):
+    """Score + 3x3 NMS for one (level, row-block, col-block) tile. The
+    score is computed with a 1-pixel halo so the NMS needs no second pass
+    over HBM (the XLA reduce_window it replaces re-reads the full score
+    canvas).
+
+    tree=True uses the circular sliding-window min/max tree (the XLA
+    fast_score_stack's roll-tree, materialized as 16 difference planes):
+    ~2.3x fewer VPU ops than the 16 sequential arcs, at ~32 live
+    [BH+2, BW+2] planes of VMEM."""
+    Hh, Wh = BH + 2, BW + 2  # score extent incl. NMS halo
+
+    def kernel(lvl_ref, r0_ref, c0_ref, img_ref, score_ref, keep_ref):
+        b = pl.program_id(0)
+        r0 = pl.multiple_of(r0_ref[b], BH)
+        c0 = pl.multiple_of(c0_ref[b], BW)
+        # window incl. stencil(3) + NMS(1) halo; padded coords: level pixel
+        # (y, x) lives at (y + 4, x + 4)
+        win = img_ref[0, pl.ds(r0, BH + 8), pl.ds(c0, BW + 8)]
+        img = win[3:3 + Hh, 3:3 + Wh]
+
+        def neighbor(k):
+            dy, dx = int(FAST_CIRCLE[k][0]), int(FAST_CIRCLE[k][1])
+            return win[3 + dy: 3 + dy + Hh, 3 + dx: 3 + dx + Wh]
+
+        if tree:
+            d = [neighbor(k) - img for k in range(16)]
+            # min/max over each circular 9-window via log-depth doubling
+            mn = [jnp.minimum(d[s], d[(s + 1) % 16]) for s in range(16)]
+            mn = [jnp.minimum(mn[s], mn[(s + 2) % 16]) for s in range(16)]
+            mn = [jnp.minimum(mn[s], mn[(s + 4) % 16]) for s in range(16)]
+            mn = [jnp.minimum(mn[s], d[(s + 8) % 16]) for s in range(16)]
+            mx9 = [jnp.maximum(d[s], d[(s + 1) % 16]) for s in range(16)]
+            mx9 = [jnp.maximum(mx9[s], mx9[(s + 2) % 16]) for s in range(16)]
+            mx9 = [jnp.maximum(mx9[s], mx9[(s + 4) % 16]) for s in range(16)]
+            mx9 = [jnp.maximum(mx9[s], d[(s + 8) % 16]) for s in range(16)]
+            bright = mn[0]
+            dark_mx = mx9[0]
+            for s in range(1, 16):
+                bright = jnp.maximum(bright, mn[s])
+                dark_mx = jnp.minimum(dark_mx, mx9[s])
+            score = jnp.maximum(bright, -dark_mx)
+        else:
+            # VMEM-lean sequential arcs (see _make_fast_kernel)
+            score = None
+            for s in range(16):
+                d0 = neighbor(s) - img
+                mb = d0
+                md = -d0
+                for j in range(1, 9):
+                    dj = neighbor((s + j) % 16) - img
+                    mb = jnp.minimum(mb, dj)
+                    md = jnp.minimum(md, -dj)
+                arc = jnp.maximum(mb, md)
+                score = arc if score is None else jnp.maximum(score, arc)
+
+        mx = None
+        for dy in range(3):
+            for dx in range(3):
+                n = score[dy:dy + BH, dx:dx + BW]
+                mx = n if mx is None else jnp.maximum(mx, n)
+        center = score[1:1 + BH, 1:1 + BW]
+        score_ref[0] = center
+        keep_ref[0] = center >= mx
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("shapes", "BH", "BW", "tree", "interpret"))
+def fast_score_nms_packed(stack, shapes: tuple, BH: int = 48, BW: int = 256,
+                          tree: bool = False, interpret: bool = False):
+    """stack: [L, H, W] f32 level canvas (levels in the top-left corner,
+    true sizes in static `shapes`) -> (score [L, H, W], keep [L, H, W]).
+
+    Packed grid: ONE 1-D grid enumerating only the row/col blocks that
+    cover real level pixels (a scalar-prefetched block table), instead of
+    a rectangular (L, H/BH) grid that spends ~55% of its blocks on canvas
+    padding (levels shrink geometrically but the canvas does not). NMS is
+    fused in-kernel via a 1-pixel score halo. Regions covered by no block
+    are NOT written — callers must mask by the true level shapes (
+    select_from_scores does, via its in_border mask)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    L, H, W = stack.shape
+    Hr = -(-H // BH) * BH
+    Wr = -(-W // BW) * BW
+    padded = jnp.pad(
+        stack, ((0, 0), (4, 4 + (Hr - H)), (4, 4 + (Wr - W))), mode="edge")
+
+    lvl, r0s, c0s = [], [], []
+    for l, (h, w) in enumerate(shapes):
+        for r in range(0, h, BH):
+            for c in range(0, w, BW):
+                lvl.append(l)
+                r0s.append(r)
+                c0s.append(c)
+    n_blocks = len(lvl)
+    lvl = jnp.asarray(lvl, jnp.int32)
+    r0s = jnp.asarray(r0s, jnp.int32)
+    c0s = jnp.asarray(c0s, jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(
+            (1, Hr + 8, Wr + 8),
+            lambda b, lvl_r, r0_r, c0_r: (lvl_r[b], 0, 0))],
+        out_specs=[
+            pl.BlockSpec(
+                (1, BH, BW),
+                lambda b, lvl_r, r0_r, c0_r:
+                    (lvl_r[b], r0_r[b] // BH, c0_r[b] // BW)),
+            pl.BlockSpec(
+                (1, BH, BW),
+                lambda b, lvl_r, r0_r, c0_r:
+                    (lvl_r[b], r0_r[b] // BH, c0_r[b] // BW)),
+        ],
+    )
+    score, keep = pl.pallas_call(
+        _make_packed_kernel(BH, BW, tree=tree),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((L, Hr, Wr), jnp.float32),
+            jax.ShapeDtypeStruct((L, Hr, Wr), jnp.bool_),
+        ],
+        interpret=interpret,
+    )(lvl, r0s, c0s, padded)
+    return score[:, :H, :W], keep[:, :H, :W]
+
+
 def default_interpret() -> bool:
     return jax.default_backend() not in ("tpu",)

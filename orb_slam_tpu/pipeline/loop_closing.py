@@ -378,11 +378,17 @@ class LoopCloser:
         fixed = ~kf_valid.copy()
         fixed[cand] = True
 
+        # dense Cholesky up to a few hundred KFs; past that the [7K,7K]
+        # matrix stops making sense and the matrix-free PCG path (O(E)
+        # memory) takes over — the same split g2o makes with its sparse
+        # solver (Optimizer.cc:548-550)
+        K_cap = len(base_s)
+        solver = "dense" if K_cap <= 384 else "cg"
         s_o, R_o, t_o = optimize_essential_graph(
             jnp.asarray(base_s), jnp.asarray(base_R), jnp.asarray(base_t),
             jnp.asarray(ei), jnp.asarray(ej),
             jnp.asarray(ms_), jnp.asarray(mR_), jnp.asarray(mt_),
-            jnp.asarray(ev), jnp.asarray(fixed), iters=15)
+            jnp.asarray(ev), jnp.asarray(fixed), iters=15, solver=solver)
         s_o = np.asarray(s_o)
         R_o = np.asarray(R_o)
         t_o = np.asarray(t_o)

@@ -97,6 +97,14 @@ class SlamConfig:
                                       # points/edges across the mesh (psum-
                                       # reduced camera system over ICI);
                                       # results identical to single-device
+    max_ba_cams: int = 0              # static bound on cameras optimized by
+                                      # one local BA: the reduced (Schur)
+                                      # camera system is built in a compact
+                                      # space of this many slots, so the
+                                      # solve cost is independent of
+                                      # map.max_keyframes (0 = capacity).
+                                      # The strongest covisibles are kept
+                                      # when the local set exceeds it.
     mapper_latency_frames: int = 0    # optional sequential-mode stand-in for
                                       # the reference's AcceptKeyFrames
                                       # backpressure (0 = mapper always idle,
@@ -917,6 +925,8 @@ class SLAMSystem:
 
         # --- Local BA (Optimizer.cc:287-536) ---
         ba_window = cfg.local_ba_window or len(neighbors)
+        if cfg.max_ba_cams:
+            ba_window = min(ba_window, cfg.max_ba_cams - 1)
         local = [new_kf] + neighbors[:ba_window]
         cam_opt_np = np.zeros(cfg.map.max_keyframes, bool)
         cam_opt_np[local] = True
@@ -933,9 +943,10 @@ class SLAMSystem:
         pt_opt = jnp.asarray(local_pts_mask) & m.pt_valid
         # Local BA in two abortable phases (g2o's setForceStopFlag semantics,
         # Optimizer.cc:351-352): a newly queued keyframe interrupts phase 2.
+        ba_kl = cfg.max_ba_cams or None
         m, outlier, (okf, ofeat) = bundle_adjust(
             m, self.K_dev, cam_opt, pt_opt, iters1=5, iters2=0,
-            mesh=cfg.mesh)
+            mesh=cfg.mesh, max_opt_cams=ba_kl)
         if DEBUG:
             dbg(f"kf{new_kf}: BA1 outlier-edges {int(jnp.sum(outlier))} "
                 f"valid {int(jnp.sum(m.pt_valid))}")
@@ -945,7 +956,7 @@ class SLAMSystem:
         if not aborted():
             m, outlier, (okf, ofeat) = bundle_adjust(
                 m, self.K_dev, cam_opt, pt_opt, iters1=0, iters2=10,
-                mesh=cfg.mesh)
+                mesh=cfg.mesh, max_opt_cams=ba_kl)
             if DEBUG:
                 dbg(f"kf{new_kf}: BA2 outlier-edges {int(jnp.sum(outlier))}")
             m = apply_edge_outliers(m, outlier, okf, ofeat)

@@ -104,7 +104,12 @@ class KeyFrameDatabase:
         cand = [c for c in cand if scores[c] >= min_score]
         if not cand:
             return []
-        # covisibility-group score accumulation (KeyFrameDatabase.cc:138-167)
+        # covisibility-group score accumulation (KeyFrameDatabase.cc:138-167):
+        # group = candidate's 10 strongest covisibles
+        # (GetBestCovisibilityKeyFrames(10), KeyFrameDatabase.cc:150); a
+        # member contributes when its shared-word count beats minCommonWords
+        # -- the reference does NOT re-apply the min_score gate inside the
+        # accumulation (KeyFrameDatabase.cc:158).
         acc_scores = {}
         for c in cand:
             group = np.where(covis_weights[c] > 0)[0]
@@ -114,7 +119,7 @@ class KeyFrameDatabase:
             best_in_group = c
             best_sc = scores[c]
             for g in group:
-                if shared_m[g] > min_common and scores[g] >= min_score:
+                if shared_m[g] > min_common:
                     acc += scores[g]
                     if scores[g] > best_sc:
                         best_sc = scores[g]
@@ -124,7 +129,8 @@ class KeyFrameDatabase:
             )
         if not acc_scores:
             return []
-        best_acc = max(acc_scores.values())
+        # bestAccScore seeded with minScore (KeyFrameDatabase.cc:144)
+        best_acc = max(max(acc_scores.values()), min_score)
         return [c for c, a in acc_scores.items() if a > 0.75 * best_acc]
 
     def detect_relocalisation_candidates(self, ids, w, covis_weights):
@@ -138,6 +144,11 @@ class KeyFrameDatabase:
         if len(cand) == 0:
             return []
         scores = self.scores_against_all(ids, w)
+        # group member gate: the reference accumulates any top-10 covisible
+        # sharing >=1 word with the query (mnRelocQuery check only,
+        # KeyFrameDatabase.cc:272-275). It reads mRelocScore even for members
+        # below the word gate, where that field is stale from an earlier
+        # query; here the current query's score is always used.
         acc_scores = {}
         for c in cand:
             group = np.where(covis_weights[c] > 0)[0]
@@ -146,7 +157,7 @@ class KeyFrameDatabase:
             acc = scores[c]
             best_in_group, best_sc = c, scores[c]
             for g in group:
-                if shared[g] > min_common:
+                if shared[g] > 0:
                     acc += scores[g]
                     if scores[g] > best_sc:
                         best_sc, best_in_group = scores[g], g

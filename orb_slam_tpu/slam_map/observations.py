@@ -21,11 +21,15 @@ from orb_slam_tpu.utils.dispatch import fused_jit
 
 # max observations per point used for statistics / BA edges. The reference
 # is unbounded (MapPoint.cc:65-103); the cap bounds the dense [P, O] edge
-# table. Overridable per call (observation_table cap=) and globally via
-# SLAM_OBS_CAP for experiments (see PERF.md for the 16-vs-64 study).
+# table. Default 32 from the measured cap study (scripts/obs_cap_study.py,
+# PERF.md): on an 80-keyframe dwell sequence — the worst case for the cap —
+# 32 retains 99.4% of observations (ATE 0.037 vs 0.047 at 16, 0.74 at 8);
+# the BA Schur accumulation is O(cap^2), so the cap should not be raised
+# casually. Overridable per call (observation_table cap=) and globally via
+# SLAM_OBS_CAP for experiments.
 import os as _os
 
-OBS_CAP = int(_os.environ.get("SLAM_OBS_CAP", "16"))
+OBS_CAP = int(_os.environ.get("SLAM_OBS_CAP", "32"))
 
 
 def flatten_observations(state: MapState):

@@ -45,7 +45,7 @@ def _edge_residual(xi_i, xi_j, base_i, base_j, meas):
     return sim3_log(err)
 
 
-@partial(fused_jit, static_argnames=("iters",))
+@partial(fused_jit, static_argnames=("iters", "solver", "cg_iters"))
 def optimize_essential_graph(
     base_s, base_R, base_t,     # [K], [K,3,3], [K,3] current vertex Sim3s
     edges_i, edges_j,           # [E] i32 endpoints
@@ -53,8 +53,18 @@ def optimize_essential_graph(
     edge_valid,                 # [E] bool
     fixed,                      # [K] bool (loop KF + invalid slots)
     iters: int = 20,
+    solver: str = "dense",
+    cg_iters: int = 100,
 ):
-    """Returns optimized (s [K], R [K,3,3], t [K,3])."""
+    """Returns optimized (s [K], R [K,3,3], t [K,3]).
+
+    solver: "dense" assembles the full [7K, 7K] normal equations (one MXU
+    Cholesky — right up to a few hundred keyframes); "cg" runs matrix-free
+    block-Jacobi-preconditioned conjugate gradient on the SAME normal
+    equations — O(E) memory and O(E * cg_iters) work, the scaling path for
+    thousands of keyframes where the dense matrix (7K)^2 no longer fits
+    (the reference's g2o uses a sparse Cholesky for the same reason,
+    Optimizer.cc:548-550)."""
     K = base_s.shape[0]
     E = edges_i.shape[0]
     xi = jnp.zeros((K, 7))
@@ -95,37 +105,92 @@ def optimize_essential_graph(
         Ji = jax.vmap(jax.jacfwd(res_fn, argnums=0))(xi_i, xi_j, e_ids)  # [E,7,7]
         Jj = jax.vmap(jax.jacfwd(res_fn, argnums=1))(xi_i, xi_j, e_ids)
 
-        w = edge_valid.astype(jnp.float32)
-        Ji = Ji * w[:, None, None]
-        Jj = Jj * w[:, None, None]
-        rw = r * w[:, None]
+        # free-subspace masking: a fixed endpoint contributes nothing to
+        # (and receives nothing from) the system — its edges still
+        # constrain the free endpoint through the residual
+        free = ~fixed
+        wi = (edge_valid & free[jnp.clip(edges_i, 0, K - 1)]).astype(
+            jnp.float32)
+        wj = (edge_valid & free[jnp.clip(edges_j, 0, K - 1)]).astype(
+            jnp.float32)
+        Ji = Ji * wi[:, None, None]
+        Jj = Jj * wj[:, None, None]
+        rw = r * edge_valid[:, None]
 
-        # assemble dense block system
-        H = jnp.zeros((K + 1, K + 1, 7, 7))
-        b = jnp.zeros((K + 1, 7))
         ii = jnp.where(edge_valid, edges_i, K)
         jj = jnp.where(edge_valid, edges_j, K)
-        H = H.at[ii, ii].add(jnp.einsum("eki,ekj->eij", Ji, Ji))
-        H = H.at[jj, jj].add(jnp.einsum("eki,ekj->eij", Jj, Jj))
-        H = H.at[ii, jj].add(jnp.einsum("eki,ekj->eij", Ji, Jj))
-        H = H.at[jj, ii].add(jnp.einsum("eki,ekj->eij", Jj, Ji))
+        b = jnp.zeros((K + 1, 7))
         b = b.at[ii].add(jnp.einsum("eki,ek->ei", Ji, rw))
         b = b.at[jj].add(jnp.einsum("eki,ek->ei", Jj, rw))
-        H = H[:K, :K]
         b = b[:K]
-
-        H = H.at[jnp.arange(K), jnp.arange(K)].add(lam * jnp.eye(7)[None])
-        # fixed vertices: identity rows
-        H = jnp.where(fixed[:, None, None, None], 0.0, H)
-        H = jnp.where(fixed[None, :, None, None], 0.0, H)
-        H = H.at[jnp.arange(K), jnp.arange(K)].add(
-            fixed[:, None, None] * jnp.eye(7)[None]
-        )
         b = jnp.where(fixed[:, None], 0.0, b)
 
-        Hd = H.transpose(0, 2, 1, 3).reshape(7 * K, 7 * K)
-        bd = b.reshape(7 * K)
-        dx = jnp.linalg.solve(Hd, -bd).reshape(K, 7)
+        if solver == "dense":
+            # assemble dense block system
+            H = jnp.zeros((K + 1, K + 1, 7, 7))
+            H = H.at[ii, ii].add(jnp.einsum("eki,ekj->eij", Ji, Ji))
+            H = H.at[jj, jj].add(jnp.einsum("eki,ekj->eij", Jj, Jj))
+            H = H.at[ii, jj].add(jnp.einsum("eki,ekj->eij", Ji, Jj))
+            H = H.at[jj, ii].add(jnp.einsum("eki,ekj->eij", Jj, Ji))
+            H = H[:K, :K]
+            H = H.at[jnp.arange(K), jnp.arange(K)].add(
+                lam * jnp.eye(7)[None])
+            # fixed vertices: identity rows
+            H = jnp.where(fixed[:, None, None, None], 0.0, H)
+            H = jnp.where(fixed[None, :, None, None], 0.0, H)
+            H = H.at[jnp.arange(K), jnp.arange(K)].add(
+                fixed[:, None, None] * jnp.eye(7)[None]
+            )
+            Hd = H.transpose(0, 2, 1, 3).reshape(7 * K, 7 * K)
+            bd = b.reshape(7 * K)
+            dx = jnp.linalg.solve(Hd, -bd).reshape(K, 7)
+        else:
+            # matrix-free PCG. Hx product = two edge gathers + two
+            # scatter-adds; block-Jacobi preconditioner from the [K,7,7]
+            # diagonal blocks.
+            ei = jnp.clip(edges_i, 0, K - 1)
+            ej = jnp.clip(edges_j, 0, K - 1)
+
+            def Hx(x):
+                u = (jnp.einsum("eij,ej->ei", Ji, x[ei])
+                     + jnp.einsum("eij,ej->ei", Jj, x[ej]))
+                y = jnp.zeros((K + 1, 7))
+                y = y.at[ii].add(jnp.einsum("eik,ei->ek", Ji, u))
+                y = y.at[jj].add(jnp.einsum("eik,ei->ek", Jj, u))
+                y = y[:K] + lam * x
+                return jnp.where(fixed[:, None], x, y)
+
+            Dg = jnp.zeros((K + 1, 7, 7))
+            Dg = Dg.at[ii].add(jnp.einsum("eki,ekj->eij", Ji, Ji))
+            Dg = Dg.at[jj].add(jnp.einsum("eki,ekj->eij", Jj, Jj))
+            Dg = Dg[:K] + (lam + 1e-8) * jnp.eye(7)[None]
+            Dg = jnp.where(fixed[:, None, None],
+                           jnp.broadcast_to(jnp.eye(7), Dg.shape), Dg)
+            D_inv = jnp.linalg.inv(Dg)
+
+            def precond(v):
+                return jnp.einsum("kij,kj->ki", D_inv, v)
+
+            rhs = -b
+
+            def cg_step(_, c):
+                x, rr, p, rz = c
+                Ap = Hx(p)
+                denom = jnp.sum(p * Ap)
+                alpha = jnp.where(jnp.abs(denom) > 1e-30, rz / denom, 0.0)
+                x = x + alpha * p
+                rr = rr - alpha * Ap
+                z = precond(rr)
+                rz_new = jnp.sum(rr * z)
+                beta = jnp.where(jnp.abs(rz) > 1e-30, rz_new / rz, 0.0)
+                p = z + beta * p
+                return (x, rr, p, rz_new)
+
+            x0 = jnp.zeros((K, 7))
+            r0 = rhs
+            z0 = precond(r0)
+            dx, _, _, _ = jax.lax.fori_loop(
+                0, cg_iters, cg_step, (x0, r0, z0, jnp.sum(r0 * z0)))
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         dx = dx * ~fixed[:, None]
         new_xi = xi + dx

@@ -10,11 +10,13 @@ batched tensor:
   * per-edge residuals/Jacobians: [P, O, 2, {6,3}] — one fused VPU pass;
   * point blocks Hpp: [P, 3, 3] batched inverse;
   * Schur cross terms: D[p,o] = C[p,o] @ chol(Hpp^-1); the reduced camera
-    system accumulates D D^T into [K+1, K+1, 6, 6] via scatter-add, looping
-    over the O (=16) second-observation index to bound peak memory;
-  * the reduced system is a dense 6K x 6K Cholesky solve — at the
+    system accumulates D D^T into a COMPACT [Kl+1, Kl+1, 6, 6] via
+    scatter-add (Kl = bound on optimized cameras, see _camera_compaction),
+    looping over the O second-observation index to bound peak memory;
+  * the reduced system is a dense 6Kl x 6Kl Cholesky solve — at the
     reference's own locality bound (local BA sees <= ~80 cameras,
-    SURVEY.md §5) this is tiny for the MXU;
+    SURVEY.md §5) this is tiny for the MXU and independent of the map's
+    keyframe capacity;
   * back-substitution recovers point updates.
 
 Outlier policy mirrors the reference's two-phase schedule
@@ -80,10 +82,36 @@ def _edge_terms(kf_pose, pt_pos, obs_kf, uv, K_mat):
     return r, Jc, Jp, z
 
 
+def _camera_compaction(cam_opt, Kl: int):
+    """Compact camera index space: the Schur/reduced system only needs
+    slots for OPTIMIZED cameras (fixed cameras have zero camera Jacobian
+    and contribute nothing to it), so the [..] scatter space shrinks from
+    the full keyframe capacity K to Kl = max optimized cameras. This is
+    what keeps local BA O(edges + Kl^3) regardless of map size — the
+    reference's own locality property (local BA sees <= ~80 covisible
+    cameras however large the map is, Optimizer.cc:289-338).
+
+    Returns (local_id [K] int32: cam slot -> compact slot or Kl dump,
+    opt_cams [Kl] int32: compact slot -> cam slot, slot_used [Kl] bool).
+    Cameras beyond Kl (should not happen for callers that bound their
+    covisible window) fall into the dump slot = treated as fixed."""
+    K = cam_opt.shape[0]
+    rank = jnp.cumsum(cam_opt) - 1                    # [K]
+    local_id = jnp.where(cam_opt & (rank < Kl), rank, Kl).astype(jnp.int32)
+    order = jnp.argsort(~cam_opt, stable=True)        # optimized first
+    opt_cams = order[:Kl].astype(jnp.int32)
+    slot_used = jnp.arange(Kl) < jnp.sum(cam_opt)
+    return local_id, opt_cams, slot_used
+
+
 def _solve_iteration(kf_pose, pt_pos, edge_w, obs_kf, uv,
-                     K_mat, cam_opt, pt_opt, damping, axis_name=None):
+                     K_mat, cam_opt, pt_opt, damping, axis_name=None,
+                     Kl: int | None = None):
     """One Gauss-Newton step. edge_w: [P,O] weights (0 = excluded edge,
     else information * Huber). Returns (new kf_pose, new pt_pos).
+
+    Kl: static bound on the number of optimized cameras (the compact
+    Schur space, see _camera_compaction). None = full capacity.
 
     axis_name: when running inside shard_map with points/edges sharded
     over that mesh axis, the reduced camera system (Hcc, Schur S, bc) is
@@ -92,10 +120,21 @@ def _solve_iteration(kf_pose, pt_pos, edge_w, obs_kf, uv,
     Point updates never leave their shard."""
     P, O = edge_w.shape
     Kk = kf_pose.shape[0]
+    # compact = camera system assembled in a [Kl]-slot space holding only
+    # optimized cameras. When no bound is requested the legacy full-capacity
+    # assembly runs VERBATIM — it is numerically identical scatter-order-wise
+    # (compaction permutes the float accumulation order, which measurably
+    # shifts marginal downstream decisions over long runs).
+    compact = Kl is not None
+    if compact:
+        local_id, opt_cams, slot_used = _camera_compaction(cam_opt, Kl)
+    else:
+        Kl = Kk
     r, Jc, Jp, z = _edge_terms(kf_pose, pt_pos, obs_kf, uv, K_mat)
     w = edge_w * (z > 0)
     # zero camera Jacobians of fixed cameras (they still constrain points)
-    cam_is_opt = cam_opt[jnp.clip(obs_kf, 0, Kk - 1)]  # [P,O]
+    obs_kf_safe = jnp.clip(obs_kf, 0, Kk - 1)
+    cam_is_opt = cam_opt[obs_kf_safe]  # [P,O]
     Jc = jnp.where(cam_is_opt[..., None, None], Jc, 0.0)
 
     wJc = Jc * w[..., None, None]
@@ -116,10 +155,15 @@ def _solve_iteration(kf_pose, pt_pos, edge_w, obs_kf, uv,
     )
     L = jnp.where(jnp.isfinite(L), L, 0.0)
 
-    # camera blocks and rhs
-    kf_idx = jnp.where(w > 0, obs_kf, Kk)  # dump slot Kk for dead edges
-    Hcc = jnp.zeros((Kk + 1, 6, 6))
-    bc = jnp.zeros((Kk + 1, 6))
+    # camera blocks and rhs, in the COMPACT space (dump slot Kl for dead
+    # edges and edges to fixed/overflow cameras); legacy: full capacity,
+    # dead edges dumped, fixed-camera edges land in their own (zero) rows
+    if compact:
+        kf_idx = jnp.where((w > 0) & cam_is_opt, local_id[obs_kf_safe], Kl)
+    else:
+        kf_idx = jnp.where(w > 0, obs_kf, Kk)
+    Hcc = jnp.zeros((Kl + 1, 6, 6))
+    bc = jnp.zeros((Kl + 1, 6))
     Hcc = Hcc.at[kf_idx].add(jnp.einsum("pokx,poky->poxy", wJc, Jc))
     bc = bc.at[kf_idx].add(jnp.einsum("pokx,pok->pox", wJc, r))
 
@@ -128,7 +172,7 @@ def _solve_iteration(kf_pose, pt_pos, edge_w, obs_kf, uv,
     C = C * pt_opt[:, None, None, None]
     D = jnp.einsum("poxy,pyz->poxz", C, L)      # [P,O,6,3]
 
-    S = jnp.zeros((Kk + 1, Kk + 1, 6, 6))
+    S = jnp.zeros((Kl + 1, Kl + 1, 6, 6))
     for o2 in range(O):
         V = jnp.einsum("poxz,pyz->poxy", D, D[:, o2])  # [P,O,6,6]
         cols = jnp.broadcast_to(kf_idx[:, o2 : o2 + 1], kf_idx.shape)
@@ -144,27 +188,38 @@ def _solve_iteration(kf_pose, pt_pos, edge_w, obs_kf, uv,
         S = jax.lax.psum(S, axis_name)
         bc = jax.lax.psum(bc, axis_name)
 
-    H = S.at[jnp.arange(Kk + 1), jnp.arange(Kk + 1)].add(Hcc)
-    H = H[:Kk, :Kk]
-    b = bc[:Kk]
+    H = S.at[jnp.arange(Kl + 1), jnp.arange(Kl + 1)].add(Hcc)
+    H = H[:Kl, :Kl]
+    b = bc[:Kl]
 
-    # fixed / unused cameras: identity rows
-    diag_boost = jnp.where(cam_opt, damping, 0.0)
-    H = H.at[jnp.arange(Kk), jnp.arange(Kk)].add(
-        diag_boost[:, None, None] * jnp.eye(6)[None]
-    )
-    fixed = ~cam_opt
-    H = jnp.where(fixed[:, None, None, None], 0.0, H)
-    H = jnp.where(fixed[None, :, None, None], 0.0, H)
-    H = H.at[jnp.arange(Kk), jnp.arange(Kk)].add(
-        fixed[:, None, None] * jnp.eye(6)[None]
-    )
-    b = jnp.where(fixed[:, None], 0.0, b)
+    if compact:
+        # every compact slot is an optimized camera; empty (padding) slots
+        # get identity rows, live ones the LM diagonal boost
+        H = H.at[jnp.arange(Kl), jnp.arange(Kl)].add(
+            jnp.where(slot_used, damping, 1.0)[:, None, None]
+            * jnp.eye(6)[None]
+        )
+        b = jnp.where(slot_used[:, None], b, 0.0)
+    else:
+        # fixed / unused cameras: identity rows
+        diag_boost = jnp.where(cam_opt, damping, 0.0)
+        H = H.at[jnp.arange(Kl), jnp.arange(Kl)].add(
+            diag_boost[:, None, None] * jnp.eye(6)[None]
+        )
+        fixed = ~cam_opt
+        H = jnp.where(fixed[:, None, None, None], 0.0, H)
+        H = jnp.where(fixed[None, :, None, None], 0.0, H)
+        H = H.at[jnp.arange(Kl), jnp.arange(Kl)].add(
+            fixed[:, None, None] * jnp.eye(6)[None]
+        )
+        b = jnp.where(fixed[:, None], 0.0, b)
 
-    Hd = H.transpose(0, 2, 1, 3).reshape(Kk * 6, Kk * 6)
-    bd = b.reshape(Kk * 6)
-    dxc = jnp.linalg.solve(Hd, -bd).reshape(Kk, 6)
+    Hd = H.transpose(0, 2, 1, 3).reshape(Kl * 6, Kl * 6)
+    bd = b.reshape(Kl * 6)
+    dxc = jnp.linalg.solve(Hd, -bd).reshape(Kl, 6)
     dxc = jnp.where(jnp.isfinite(dxc), dxc, 0.0)
+    if compact:
+        dxc = dxc * slot_used[:, None]
 
     # back-substitute points: dxp = Hpp^-1 (-bp - sum_o C^T dxc_kf)
     dxc_pad = jnp.concatenate([dxc, jnp.zeros((1, 6))], axis=0)
@@ -173,9 +228,15 @@ def _solve_iteration(kf_pose, pt_pos, edge_w, obs_kf, uv,
     dxp = jnp.where(jnp.isfinite(dxp), dxp, 0.0)
     dxp = dxp * pt_opt[:, None]
 
+    if compact:
+        # scatter compact camera updates back to global slots
+        dxc_g = jnp.zeros((Kk, 6)).at[opt_cams].add(
+            dxc * slot_used[:, None])
+    else:
+        dxc_g = dxc
     new_pose = jnp.where(
         cam_opt[:, None, None],
-        jax.vmap(se3_exp)(dxc) @ kf_pose,
+        jax.vmap(se3_exp)(dxc_g) @ kf_pose,
         kf_pose,
     )
     new_pts = pt_pos + dxp
@@ -190,7 +251,7 @@ def _edge_chi2(kf_pose, pt_pos, obs_kf, uv, K_mat, inv_sigma2):
 
 def _ba_core(kf_pose, pt_pos, obs_kf, uv, inv_sigma2, edge_on,
              cam_opt, pt_opt, K_mat, *, iters1, iters2, damping,
-             axis_name=None):
+             axis_name=None, Kl=None):
     """The BA solver body, shared by the single-device and sharded paths.
 
     All [P,...] arrays (pt_pos, obs_kf, uv, inv_sigma2, edge_on, pt_opt)
@@ -228,7 +289,7 @@ def _ba_core(kf_pose, pt_pos, obs_kf, uv, inv_sigma2, edge_on,
             w = inv_sigma2 * w_huber * edge_on * (z > 0)
             new_pose, new_pts = _solve_iteration(
                 kf_pose, pt_pos, w, obs_kf, uv,
-                K_mat, cam_opt, pt_opt, lam, axis_name=axis_name)
+                K_mat, cam_opt, pt_opt, lam, axis_name=axis_name, Kl=Kl)
             cost0 = robust_cost(kf_pose, pt_pos, edge_on)
             cost1 = robust_cost(new_pose, new_pts, edge_on)
             accept = cost1 < cost0
@@ -264,15 +325,15 @@ def _ba_inputs(state: MapState, pt_opt):
     return obs_kf, obs_feat, obs_valid, uv, inv_sigma2, edge_on
 
 
-@partial(fused_jit, static_argnames=("iters1", "iters2"))
+@partial(fused_jit, static_argnames=("iters1", "iters2", "Kl"))
 def _bundle_adjust_single(state, K_mat, cam_opt, pt_opt, iters1, iters2,
-                          damping):
+                          damping, Kl=None):
     obs_kf, obs_feat, obs_valid, uv, inv_sigma2, edge_on = _ba_inputs(
         state, pt_opt)
     kf_pose, pt_pos, edge_in = _ba_core(
         state.kf_pose, state.pt_pos, obs_kf, uv, inv_sigma2, edge_on,
         cam_opt, pt_opt, K_mat, iters1=iters1, iters2=iters2,
-        damping=damping)
+        damping=damping, Kl=Kl)
     outlier = obs_valid & pt_opt[:, None] & ~edge_in
     new_state = state._replace(kf_pose=kf_pose, pt_pos=pt_pos)
     return new_state, outlier, (obs_kf, obs_feat)
@@ -281,11 +342,11 @@ def _bundle_adjust_single(state, K_mat, cam_opt, pt_opt, iters1, iters2,
 _SHARDED_BA_CACHE = {}
 
 
-def _bundle_adjust_sharded(mesh, iters1, iters2):
+def _bundle_adjust_sharded(mesh, iters1, iters2, Kl=None):
     """Jitted sharded BA: points/edges sharded over the mesh's 'data' axis
     (each shard owns a block of the observation table), cameras replicated,
     one psum per solver iteration reduces the camera system over ICI."""
-    key = (mesh, iters1, iters2)
+    key = (mesh, iters1, iters2, Kl)
     if key in _SHARDED_BA_CACHE:
         return _SHARDED_BA_CACHE[key]
     try:
@@ -294,7 +355,8 @@ def _bundle_adjust_sharded(mesh, iters1, iters2):
         from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as Pspec
 
-    core = partial(_ba_core, iters1=iters1, iters2=iters2, axis_name="data")
+    core = partial(_ba_core, iters1=iters1, iters2=iters2, axis_name="data",
+                   Kl=Kl)
 
     def with_damping(kf_pose, pt_pos, obs_kf, uv, inv_sigma2, edge_on,
                      cam_opt, pt_opt, K_mat, damping):
@@ -334,6 +396,7 @@ def bundle_adjust(
     iters2: int = 10,
     damping: float = 1e-3,
     mesh=None,
+    max_opt_cams: int | None = None,
 ):
     """Run (local or global) BA over the MapState.
 
@@ -344,17 +407,23 @@ def bundle_adjust(
     mesh: optional jax.sharding.Mesh with a 'data' axis — points/edges
     shard across it; results are identical to the single-device path
     (tests/test_parallel.py).
+    max_opt_cams: static bound on |cam_opt| — the reduced camera system is
+    built in a compact [max_opt_cams]-slot space, making the solve
+    independent of the map's keyframe CAPACITY (local BA at K=4096 costs
+    the same as at K=64). Cameras beyond the bound are treated as fixed.
+    None = use full capacity (exact legacy shapes).
     Returns (new_state, edge_outlier [P, O] bool, obs table (kf, feat))."""
     if mesh is None:
         return _bundle_adjust_single(state, K_mat, cam_opt, pt_opt,
-                                     iters1, iters2, damping)
+                                     iters1, iters2, damping,
+                                     Kl=max_opt_cams)
     n_data = mesh.shape["data"]
     P = state.pt_valid.shape[0]
     if P % n_data:
         raise ValueError(
             f"bundle_adjust: max_points={P} must divide the mesh 'data' "
             f"axis ({n_data})")
-    return _bundle_adjust_sharded(mesh, iters1, iters2)(
+    return _bundle_adjust_sharded(mesh, iters1, iters2, Kl=max_opt_cams)(
         state, K_mat, cam_opt, pt_opt, damping)
 
 

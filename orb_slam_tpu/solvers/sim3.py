@@ -32,7 +32,7 @@ def _project(p_cam, K_mat):
 @partial(fused_jit, static_argnames=("n_hypotheses", "fix_scale"))
 def sim3_ransac(
     p1, p2, uv1, uv2, valid, sigma2_1, sigma2_2, K_mat, key,
-    n_hypotheses: int = 128, fix_scale: bool = False,
+    n_hypotheses: int = 300, fix_scale: bool = False,
 ):
     """Estimate S12 (mapping camera-2-frame points into camera 1's frame)
     from matched 3D points expressed in each camera frame, with mutual

@@ -150,3 +150,51 @@ class TestEssentialGraph:
         assert s_err_after < 0.01
         # fixed vertex untouched
         np.testing.assert_allclose(np.asarray(t_o[0]), true_t[0], atol=1e-6)
+
+    def test_cg_solver_matches_dense(self, rng):
+        """The matrix-free PCG mode must reach the same optimum as the
+        dense Cholesky on the drift-distribution problem (the scaling
+        path for maps too large for a [7K,7K] dense solve)."""
+        K = 12
+        true_s = np.ones(K, np.float32)
+        true_R = np.stack([np.eye(3, dtype=np.float32)] * K)
+        true_t = np.stack(
+            [np.array([0.5 * k, 0, 0], np.float32) for k in range(K)])
+        est_s = np.ones(K, np.float32)
+        est_t = true_t.copy()
+        drift = np.zeros(3, np.float32)
+        for k in range(1, K):
+            drift += np.array([0.02, 0.01, 0.0], np.float32)
+            est_t[k] = true_t[k] + drift
+            est_s[k] = 1.0 + 0.01 * k
+
+        edges_i, edges_j, ms, mR, mt = [], [], [], [], []
+        pairs = [(k, k + 1) for k in range(K - 1)] + [(0, K - 1)]
+        for i, j in pairs:
+            edges_i.append(i); edges_j.append(j)
+            rs, rR, rt = relative_sim3(
+                jnp.asarray(true_s[i]), jnp.asarray(true_R[i]),
+                jnp.asarray(true_t[i]),
+                jnp.asarray(true_s[j]), jnp.asarray(true_R[j]),
+                jnp.asarray(true_t[j]))
+            ms.append(float(rs)); mR.append(np.asarray(rR))
+            mt.append(np.asarray(rt))
+        E = len(edges_i)
+        fixed = np.zeros(K, bool); fixed[0] = True
+        args = (
+            jnp.asarray(est_s), jnp.asarray(true_R), jnp.asarray(est_t),
+            jnp.asarray(edges_i, dtype=jnp.int32),
+            jnp.asarray(edges_j, dtype=jnp.int32),
+            jnp.asarray(np.array(ms, np.float32)), jnp.asarray(np.stack(mR)),
+            jnp.asarray(np.stack(mt)), jnp.ones(E, bool), jnp.asarray(fixed),
+        )
+        s_d, R_d, t_d = optimize_essential_graph(*args, iters=15)
+        s_c, R_c, t_c = optimize_essential_graph(
+            *args, iters=15, solver="cg", cg_iters=60)
+        np.testing.assert_allclose(np.asarray(s_c), np.asarray(s_d),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(t_c), np.asarray(t_d),
+                                   atol=5e-3)
+        np.testing.assert_allclose(np.asarray(R_c), np.asarray(R_d),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(t_c[0]), true_t[0], atol=1e-6)

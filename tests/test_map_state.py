@@ -131,6 +131,26 @@ class TestObservations:
         assert set(okf[3, :2]) == {0, 1}
         assert set(ofeat[3, :2]) == {7, 11}
 
+    def test_observation_table_cap32(self, rng):
+        """The production default cap (32, PERF.md study) — the suite runs
+        at SLAM_OBS_CAP=16 for CPU speed, so cover the 32-wide table
+        explicitly: same first-O semantics, wider padding."""
+        m = empty_map(CFG)
+        obs0 = np.full(CFG.n_features, -1); obs0[7] = 3
+        obs1 = np.full(CFG.n_features, -1); obs1[11] = 3
+        m = insert_keyframe(m, 0, **make_kf_args(rng, 0, obs0))
+        m = insert_keyframe(m, 1, **make_kf_args(rng, 1, obs1))
+        m = add_points(m, jnp.asarray([3]), jnp.zeros((1, 3)),
+                       jnp.zeros((1, 8), jnp.uint32),
+                       jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32),
+                       jnp.ones(1, bool))
+        okf, ofeat, ovalid = (
+            np.asarray(x) for x in observation_table(m, cap=32))
+        assert okf.shape[1] == 32
+        assert ovalid[3, :2].all() and not ovalid[3, 2:].any()
+        assert set(okf[3, :2]) == {0, 1}
+        assert set(ofeat[3, :2]) == {7, 11}
+
     def test_refresh_point_stats(self, rng):
         m = empty_map(CFG)
         # one point at (0,0,5), seen by two KFs at known centers

@@ -39,6 +39,27 @@ class TestPallasFast:
         np.testing.assert_array_equal(
             np.asarray(keep_p)[significant], np.asarray(keep_x)[significant])
 
+    @pytest.mark.parametrize("tree", [False, True])
+    def test_packed_kernel_matches_xla(self, rng, tree):
+        from orb_slam_tpu.ops.pallas_fast import fast_score_nms_packed
+        img = textured(rng)
+        stack, shapes = build_pyramid_stack(jnp.asarray(img), 4, 1.2)
+        score_p, keep_p = fast_score_nms_packed(
+            stack, tuple(shapes), BH=48, BW=256, tree=tree, interpret=True)
+        score_x = fast_score_stack(stack)
+        mx = jax.lax.reduce_window(
+            score_x, -jnp.inf, jax.lax.max, (1, 3, 3), (1, 1, 1), "SAME")
+        keep_x = score_x >= mx
+        # compare inside each level's interior (the packed kernel leaves
+        # out-of-level canvas unwritten by design; canvas-boundary NMS rows
+        # are border-masked downstream)
+        for l, (h, w) in enumerate(shapes):
+            sl = np.s_[l, 1:h - 1, 1:w - 1]
+            np.testing.assert_allclose(
+                np.asarray(score_p[sl]), np.asarray(score_x[sl]), atol=1e-5)
+            np.testing.assert_array_equal(
+                np.asarray(keep_p[sl]), np.asarray(keep_x[sl]))
+
     def test_full_detection_path(self, rng):
         img = textured(rng)
         stack, shapes = build_pyramid_stack(jnp.asarray(img), 4, 1.2)
