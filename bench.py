@@ -18,7 +18,7 @@ import time
 
 import numpy as np
 
-CHUNK = 16      # frames per dispatch
+CHUNK = int(__import__("os").environ.get("BENCH_CHUNK", "64"))  # frames per dispatch (sweep: 16->161, 32->173, 64->186 fps through the tunnel)
 N_WARM = 2      # warmup chunks
 N_CHUNKS = 8    # timed chunks
 

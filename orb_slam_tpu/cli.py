@@ -37,6 +37,9 @@ def cmd_run(args):
         use_motion_model=extras["use_motion_model"],
         # reference: mMaxFrames = 18 * fps / 30 (Tracking.cc:78)
         max_frames_between_kf=max(1, int(round(18 * extras["fps"] / 30.0))),
+        p_local=args.p_local,
+        min_init_matches=args.min_init_matches,
+        min_init_keypoints=args.min_init_matches,
     )
     system = SLAMSystem(cfg)
     ds = PrefetchIterator(open_dataset(args.dataset))
@@ -97,6 +100,11 @@ def main(argv=None):
                    help="write a map plot every N frames (the reference's "
                         "rviz MapPublisher refresh, MapPublisher.cc)")
     r.add_argument("--viz-out", default="map.png")
+    r.add_argument("--p-local", type=int, default=4096,
+                   help="tracking candidate pool size")
+    r.add_argument("--min-init-matches", type=int, default=100,
+                   help="two-view init acceptance floor "
+                        "(reference: Tracking.cc:345)")
     r.set_defaults(fn=cmd_run)
 
     e = sub.add_parser("eval", help="ATE RMSE vs ground truth (TUM format)")

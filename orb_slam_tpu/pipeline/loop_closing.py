@@ -82,6 +82,62 @@ def search_by_sim3(state, kf1, kf2, s, R, t, K_mat, radius: float = 7.5):
     return idx, ok
 
 
+@fused_jit
+def project_loop_points(state, new_kf, loop_mask, matched_feat,
+                        s, R, t, T_cand, K_mat,
+                        width: float, height: float, th: float = 10.0):
+    """SearchByProjection(KF, Scw, vpPoints, vpMatched, th) — the loop
+    verification matcher (reference: src/ORBmatcher.cc:286-407, called
+    from LoopClosing::ComputeSim3 at LoopClosing.cc:375-394): project the
+    loop neighborhood's map points into the current keyframe through the
+    corrected Sim3, gate by image bounds / scale-band distance / viewing
+    angle / predicted-octave radius, Hamming-match against features not
+    already matched. Returns (point_of_feat [N] i32, ok [N] bool)."""
+    P = state.pt_valid.shape[0]
+    N = state.kf_obs.shape[1]
+    # de-scaled camera coords (the reference divides Scw by its scale,
+    # ORBmatcher.cc:306-310, so distances compare in map units)
+    p_cand = state.pt_pos @ T_cand[:3, :3].T + T_cand[:3, 3]
+    p_cur = p_cand @ R.T + (t / s)
+    z = p_cur[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = K_mat[0, 0] * p_cur[:, 0] / zs + K_mat[0, 2]
+    v = K_mat[1, 1] * p_cur[:, 1] / zs + K_mat[1, 2]
+    dist = jnp.linalg.norm(p_cur, axis=-1)
+    in_img = (z > 0) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+    band = (dist >= state.pt_min_dist) & (dist <= state.pt_max_dist)
+    # viewing angle < 60 deg (ORBmatcher.cc:334-337): ray from the current
+    # camera center (in world) vs the point's mean viewing normal
+    R_cur = R @ T_cand[:3, :3]           # world -> cur rotation
+    t_cur = (t / s) + (T_cand[:3, 3] @ R.T)
+    C_cur = -(R_cur.T @ t_cur)           # cur camera center in world
+    PO = state.pt_pos - C_cur
+    view_ok = jnp.sum(PO * state.pt_normal, axis=-1) > 0.5 * dist
+    pt_ok = (state.pt_valid & loop_mask & in_img & band & view_ok)
+    # predicted octave + radius (ORBmatcher.cc:340-350)
+    ratio = jnp.maximum(state.pt_max_dist / jnp.maximum(dist, 1e-9), 1.0)
+    pred = jnp.clip(jnp.ceil(jnp.log(ratio) / jnp.log(1.2)), 0, 7)
+    radius = th * 1.2 ** pred
+    d = jnp.stack([u, v], -1)[:, None, :] - state.kf_xy[new_kf][None, :, :]
+    gate = jnp.sum(d * d, -1) <= (radius * radius)[:, None]
+    octv = state.kf_octave[new_kf].astype(jnp.float32)
+    gate &= (octv[None, :] >= pred[:, None] - 1) & (
+        octv[None, :] <= pred[:, None])
+    idx, dist_h, ok = match(
+        state.pt_desc, state.kf_desc[new_kf], allowed=gate,
+        valid_a=pt_ok, valid_b=state.kf_feat_valid[new_kf] & ~matched_feat,
+        max_dist=TH_LOW, nn_ratio=1.0, unique=True,
+    )
+    # invert: feature -> point
+    feat_pt = jnp.full((N,), -1, jnp.int32)
+    rows = jnp.where(ok, idx, N)
+    src = jnp.arange(P, dtype=jnp.int32)
+    feat_pt = jnp.concatenate(
+        [feat_pt, jnp.full((1,), -1, jnp.int32)]).at[rows].set(
+        jnp.where(ok, src, -1))[:N]
+    return feat_pt, feat_pt >= 0
+
+
 class LoopCloser:
     def __init__(self, db: KeyFrameDatabase, cfg, rng_key=None):
         self.db = db
@@ -216,7 +272,26 @@ class LoopCloser:
                 1.0 / s2_1, 1.0 / s2_2m, system.K_dev)
             if int(n_in) < 20:
                 continue
-            dbg(f"sim3 cand {cand}: ACCEPTED opt_inliers={int(n_in)}")
+
+            # final verification (LoopClosing.cc:347-394): project the
+            # candidate's covisible neighborhood's points into the current
+            # KF through the corrected Sim3 and demand >= 40 total matches
+            W_np = np.asarray(covisibility_weights(m))
+            group = np.where(W_np[cand] > 0)[0].tolist() + [cand]
+            loop_mask = np.zeros(P, bool)
+            obs_g = np.asarray(m.kf_obs[np.asarray(group, np.int32)])
+            loop_mask[obs_g[obs_g >= 0]] = True
+            feat_pt, proj_ok = project_loop_points(
+                m, new_kf, jnp.asarray(loop_mask), inl,
+                s, R, t, m.kf_pose[cand], system.K_dev,
+                width=float(system.cfg.camera.width),
+                height=float(system.cfg.camera.height))
+            n_total = int(jnp.sum(inl)) + int(jnp.sum(proj_ok))
+            dbg(f"sim3 cand {cand}: opt_inliers={int(n_in)} "
+                f"projected={int(jnp.sum(proj_ok))} total={n_total}")
+            if n_total < 40:
+                continue
+            dbg(f"sim3 cand {cand}: ACCEPTED total={n_total}")
             return cand, (s, R, t), inl
         return None
 

@@ -6,6 +6,8 @@ through the REAL extractor and check in the compact artifact).
 Usage: python scripts/build_vocab.py [--L 4] [--out orb_slam_tpu/data/vocab_k10L4.npz]
 Deterministic: fixed seeds everywhere."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
 import os
 import sys

@@ -14,6 +14,8 @@ the TPU. Two methodologies used here (documented in PERF.md):
 Usage: python scripts/profile_device.py [stages|chunks]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 from functools import partial
@@ -93,7 +95,9 @@ def run_stages():
     from orb_slam_tpu.ops.fast_stack import (
         build_pyramid_stack, fast_score_stack,
     )
-    from orb_slam_tpu.ops.pallas_fast import fast_score_nms_pallas
+    from orb_slam_tpu.ops.pallas_fast import (
+        fast_score_nms_pallas, fast_score_nms_packed,
+    )
     from orb_slam_tpu.pipeline.track_kernels import _track_body
 
     scene, cam, extractor, m, imgs16, (W, H) = build_fixture()
@@ -108,9 +112,33 @@ def run_stages():
     slope("fast score (XLA roll-tree)", lambda img, c: fast_score_stack(
         build_pyramid_stack(img, config.n_levels, config.scale_factor,
                             consts=c)[0]), imgs16, consts)
-    slope("fast score+nms (pallas)", lambda img, c: fast_score_nms_pallas(
+    slope("fast score+nms (pallas rect)", lambda img, c: fast_score_nms_pallas(
         build_pyramid_stack(img, config.n_levels, config.scale_factor,
                             consts=c)[0]), imgs16, consts)
+
+    from orb_slam_tpu.ops.image import pyramid_shapes
+    shp = tuple(pyramid_shapes(H, W, config.n_levels, config.scale_factor))
+    slope("fast score+nms (pallas packed)",
+          lambda img, c: fast_score_nms_packed(
+              build_pyramid_stack(img, config.n_levels, config.scale_factor,
+                                  consts=c)[0], shp, tree=True),
+          imgs16, consts)
+    from orb_slam_tpu.ops.fast_stack import (
+        detect_keypoints_stack_pallas, select_from_scores)
+    from orb_slam_tpu.ops.descriptor_stack import (
+        gaussian_blur_stack, ic_angles_batch)
+    quotas = tuple(config.level_quotas())
+
+    slope("detect (packed + cell-select)",
+          lambda img, c: detect_keypoints_stack_pallas(
+              build_pyramid_stack(img, config.n_levels, config.scale_factor,
+                                  consts=c)[0], shp, quotas)[0],
+          imgs16, consts)
+    slope("gaussian blur",
+          lambda img, c: gaussian_blur_stack(
+              build_pyramid_stack(img, config.n_levels, config.scale_factor,
+                                  consts=c)[0]),
+          imgs16, consts)
     slope("full extract (XLA score)", lambda img, c: _extract_stacked(
         img, c, config=config, use_pallas=False).desc_u32, imgs16, consts)
     slope("full extract (pallas score)", lambda img, c: _extract_stacked(
