@@ -9,8 +9,19 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+if os.environ.get("JAX_PLATFORMS"):
+    # honor an explicit platform choice: some deployments install a
+    # sitecustomize that registers a remote-TPU PJRT plugin and resets
+    # jax_platforms at interpreter startup, silently overriding the env
+    # var. Re-assert it through the config API (same pattern as
+    # tests/conftest.py).
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def cmd_run(args):
@@ -62,6 +73,12 @@ def cmd_run(args):
         if args.max_frames and n >= args.max_frames:
             break
 
+    print(
+        f"[final] frames={n} keyframes={system.n_keyframes} "
+        f"points={system.n_points} loops_closed={system.n_loops_closed} "
+        f"state={STATE_NAMES[system.state]}",
+        file=sys.stderr,
+    )
     write_tum(args.out, system.keyframe_trajectory(), fps=extras["fps"])
     if args.viz_every:
         from orb_slam_tpu.io.viz import draw_map

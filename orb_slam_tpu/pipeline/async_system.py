@@ -19,9 +19,15 @@ Reference protocol parity:
   * SetAcceptKeyFrames backpressure: _mapper_accepting() is False while the
     queue is non-empty (LocalMapping.cc:507-517) so c1b defers to c1a;
   * Stop/Release: request_stop()/release() park the mapper so an external
-    agent may mutate the map exclusively (LocalMapping.cc:471-517) — loop
-    closing itself runs inside the mapper thread, so its map surgery is
-    naturally exclusive."""
+    agent may mutate the map exclusively (LocalMapping.cc:471-517);
+  * LOOP CLOSING runs on its own thread (the reference's thread 3,
+    LoopClosing.cc:56-81): the mapper queues processed keyframes to it
+    (LocalMapping.cc:87); detection + Sim3 run against immutable map
+    snapshots concurrently with mapping; on a verified loop the loop
+    thread parks the mapper (RequestStop, LoopClosing.cc:401-406),
+    becomes the exclusive writer for CorrectLoop's map surgery, then
+    Release()s. The BoW database is shared by both threads under its own
+    lock (the reference's KeyFrameDatabase::mMutex)."""
 
 from __future__ import annotations
 
@@ -47,9 +53,20 @@ class AsyncSLAMSystem(SLAMSystem):
         self._pending_deltas = []
         self._shutdown = False
         self._mapper_error = None
+        self._loop_queue: queue.Queue = queue.Queue()
+        self._loop_idle = threading.Event()
+        self._loop_idle.set()
+        self._loop_error = None
         super().__init__(cfg)
         self._thread = threading.Thread(target=self._mapper_loop, daemon=True)
         self._thread.start()
+        # the loop thread starts immediately and waits on its queue; items
+        # only arrive after initialization has built the LoopCloser
+        self._loop_thread = None
+        if self.cfg.enable_loop_closing:
+            self._loop_thread = threading.Thread(
+                target=self._loop_loop, daemon=True)
+            self._loop_thread.start()
 
     # ------------------------------------------------------------- overrides
 
@@ -117,6 +134,59 @@ class AsyncSLAMSystem(SLAMSystem):
             if self._kf_queue.empty():
                 self._idle.set()
 
+    # ------------------------------------------------------------ loop thread
+
+    def _run_loop_closing(self, slot: int):
+        """Queue the processed keyframe to the loop thread (the reference's
+        LoopClosing::InsertKeyFrame, LocalMapping.cc:87)."""
+        self._loop_idle.clear()
+        self._loop_queue.put(slot)
+
+    def _loop_loop(self):
+        """LoopClosing::Run (LoopClosing.cc:56-81): poll the queue, run
+        detection + Sim3 against the current (immutable) map snapshot; on a
+        verified loop, park the mapper and perform the correction as the
+        exclusive map writer."""
+        while not self._shutdown:
+            try:
+                slot = self._loop_queue.get(timeout=0.02)
+            except queue.Empty:
+                self._loop_idle.set()
+                continue
+            try:
+                lc = self.loop_closer
+                if lc is None or not bool(self.map.kf_valid[slot]):
+                    continue
+                candidates, ids, w = lc.detect(self, slot)
+                if not candidates:
+                    continue
+                hit = lc.compute_sim3(self, slot, candidates)
+                if hit is None:
+                    continue
+                cand, S12, inl = hit
+                # CorrectLoop under an exclusive-writer window
+                # (LoopClosing.cc:401-406 stop ... 550 release). The
+                # reference spin-waits until LocalMapping actually parks;
+                # a long-running integration must complete first.
+                self._stop_requested.set()
+                while not self._stopped.wait(timeout=1.0):
+                    if self._shutdown:
+                        break
+                if self._shutdown:
+                    break
+                try:
+                    if bool(self.map.kf_valid[slot]) and bool(
+                            self.map.kf_valid[cand]):
+                        if lc.correct(self, slot, cand, S12):
+                            self.n_loops_closed += 1
+                finally:
+                    self.release()
+            except Exception as e:  # surface in finish()
+                self._loop_error = e
+            finally:
+                if self._loop_queue.empty():
+                    self._loop_idle.set()
+
     # ---------------------------------------------------------- control plane
 
     def request_stop(self):
@@ -135,21 +205,28 @@ class AsyncSLAMSystem(SLAMSystem):
         self._stop_requested.clear()
 
     def finish(self, timeout: float = 120.0):
-        """Drain the queue and wait for the mapper to go idle."""
+        """Drain both queues and wait for the mapper + loop threads to go
+        idle."""
         import time
 
         t0 = time.time()
-        while not (self._kf_queue.empty() and self._idle.is_set()):
+        while not (self._kf_queue.empty() and self._idle.is_set()
+                   and self._loop_queue.empty()
+                   and self._loop_idle.is_set()):
             if time.time() - t0 > timeout:
-                raise TimeoutError("mapper did not drain")
+                raise TimeoutError("mapper/loop thread did not drain")
             time.sleep(0.01)
         self._merge_pending()
         if self._mapper_error is not None:
             raise self._mapper_error
+        if self._loop_error is not None:
+            raise self._loop_error
 
     def close(self):
         self._shutdown = True
         self._thread.join(timeout=10.0)
+        if self._loop_thread is not None:
+            self._loop_thread.join(timeout=10.0)
 
     def reset(self):
         """Reset protocol (Tracking::Reset, src/Tracking.cc:1026-1094):
@@ -157,6 +234,13 @@ class AsyncSLAMSystem(SLAMSystem):
         if hasattr(self, "_thread") and self._thread.is_alive():
             self.request_stop()
             self.release()
+        if hasattr(self, "_loop_queue"):
+            while not self._loop_queue.empty():
+                try:
+                    self._loop_queue.get_nowait()
+                except queue.Empty:
+                    break
+            self._loop_idle.set()
         with getattr(self, "_lock", threading.Lock()):
             self._pending_deltas = []
         super().reset()

@@ -145,15 +145,21 @@ class SLAMSystem:
 
     def __init__(self, cfg: SlamConfig = None):
         self.cfg = cfg or SlamConfig()
-        self.extractor = ORBExtractor(self.cfg.orb)
-        # 2x-feature extractor for initialization (reference builds
-        # mpIniORBextractor with 2*nFeatures, Tracking.cc:111,126) — denser
-        # features make the two-view bootstrap robust on low texture; the
-        # initial keyframes are compacted back to n_features at map creation
-        from dataclasses import replace as _dc_replace
-        self.init_orb = _dc_replace(
-            self.cfg.orb, n_features=2 * self.cfg.orb.n_features)
-        self.extractor_init = ORBExtractor(self.init_orb)
+        if self.cfg.orb is not None:
+            self.extractor = ORBExtractor(self.cfg.orb)
+            # 2x-feature extractor for initialization (reference builds
+            # mpIniORBextractor with 2*nFeatures, Tracking.cc:111,126) —
+            # denser features make the two-view bootstrap robust on low
+            # texture; the initial keyframes are compacted back to
+            # n_features at map creation
+            from dataclasses import replace as _dc_replace
+            self.init_orb = _dc_replace(
+                self.cfg.orb, n_features=2 * self.cfg.orb.n_features)
+            self.extractor_init = ORBExtractor(self.init_orb)
+        else:
+            # oracle-features mode (tests / precomputed pipelines):
+            # process(features=...) only
+            self.extractor = self.extractor_init = self.init_orb = None
         self.K = np.asarray(self.cfg.camera.K)
         self.K_dev = jnp.asarray(self.K)
         self._frontend_jit = {}
@@ -729,13 +735,20 @@ class SLAMSystem:
         self._local_mapping(slot, abort=abort)
         if (self.cfg.enable_loop_closing and self.loop_closer is not None
                 and bool(self.map.kf_valid[slot])):
-            # loop_closer.detect registers the KF's BoW in the database
-            if self.loop_closer.process(self, slot):
-                self.n_loops_closed += 1
+            # LocalMapping pushes the processed KF to LoopClosing
+            # (LocalMapping.cc:87); sequential mode runs it inline, the
+            # async system queues it to a dedicated loop thread
+            self._run_loop_closing(slot)
         elif self.db is not None and bool(self.map.kf_valid[slot]):
             ids, w, _ = self.db.compute_bow(frame.desc, frame.valid)
             self.db.add(slot, ids, w)
         return slot
+
+    def _run_loop_closing(self, slot: int):
+        """Sequential mode: full loop-closing pass inline (detect registers
+        the KF's BoW in the database as a side effect)."""
+        if self.loop_closer.process(self, slot):
+            self.n_loops_closed += 1
 
     def _relocalize(self, frame: FrameData) -> bool:
         """Relocalisation ladder (reference: Tracking::Relocalisation,

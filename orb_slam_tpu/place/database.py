@@ -17,6 +17,9 @@ The candidate LOGIC is the reference's, faithfully:
 
 from __future__ import annotations
 
+import functools
+import threading
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,8 +27,23 @@ import numpy as np
 from orb_slam_tpu.place.vocabulary import Vocabulary, transform, bow_vector, l1_score
 
 
+def _locked(fn):
+    @functools.wraps(fn)
+    def wrapper(self, *a, **k):
+        with self.lock:
+            return fn(self, *a, **k)
+    return wrapper
+
+
 class KeyFrameDatabase:
+    """BoW store. Mutators and queries take `lock` (an RLock): the async
+    pipeline's mapper thread (add on insert, erase on cull) and loop
+    thread (add + candidate queries) share this object — the reference
+    guards its inverted file the same way (KeyFrameDatabase::mMutex,
+    KeyFrameDatabase.cc:41)."""
+
     def __init__(self, voc: Vocabulary, max_keyframes: int, n_slots: int):
+        self.lock = threading.RLock()
         self.voc = voc
         self.K = max_keyframes
         self.W = n_slots
@@ -37,12 +55,14 @@ class KeyFrameDatabase:
             jax.vmap(l1_score, in_axes=(None, None, 0, 0))
         )
 
+    @_locked
     def add(self, slot: int, ids, w):
         """Register a keyframe's BoW vector (KeyFrameDatabase::add)."""
         self.bow_ids = self.bow_ids.at[slot].set(ids)
         self.bow_w = self.bow_w.at[slot].set(w)
         self.active[slot] = True
 
+    @_locked
     def erase(self, slot: int):
         big = jnp.int32(2 ** 30)
         self.bow_ids = self.bow_ids.at[slot].set(big)
@@ -57,12 +77,14 @@ class KeyFrameDatabase:
         )
         return ids, w, nodes
 
+    @_locked
     def scores_against_all(self, ids, w):
         """[K] L1 scores of query BoW vs every stored keyframe."""
         s = np.array(self._score_all(ids, w, self.bow_ids, self.bow_w))
         s[~self.active] = 0.0
         return s
 
+    @_locked
     def shared_words_against_all(self, ids):
         """[K] count of common words (the maxCommonWords gate,
         KeyFrameDatabase.cc:92-121)."""
@@ -81,6 +103,7 @@ class KeyFrameDatabase:
 
     # ---------------------------------------------------------------- queries
 
+    @_locked
     def detect_loop_candidates(self, ids, w, query_slot, covisible_slots,
                                min_score, covis_weights):
         """Loop candidates for the keyframe in `query_slot`.
@@ -133,6 +156,7 @@ class KeyFrameDatabase:
         best_acc = max(max(acc_scores.values()), min_score)
         return [c for c, a in acc_scores.items() if a > 0.75 * best_acc]
 
+    @_locked
     def detect_relocalisation_candidates(self, ids, w, covis_weights):
         """Relocalisation candidates for a lost frame
         (KeyFrameDatabase.cc:198-308)."""

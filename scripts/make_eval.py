@@ -105,6 +105,10 @@ UseMotionModel: 1
     if r.returncode != 0:
         raise SystemExit(f"cli run failed rc={r.returncode}")
     wall = time.time() - t0
+    loops = -1
+    for line in r.stderr.splitlines():
+        if line.startswith("[final]"):
+            loops = int(line.split("loops_closed=")[1].split()[0])
 
     r2 = subprocess.run(
         [sys.executable, "-m", "orb_slam_tpu.cli", "eval", traj, gt_path],
@@ -120,6 +124,7 @@ UseMotionModel: 1
         "sequence": f"rendered ring orbit, {N} frames, 420 deg, organic "
                     f"loop closure, real frontend + pretrained vocab",
         "ate_rmse": ev["ate_rmse"],
+        "loops_closed": loops,
         "n_keyframes_associated": ev["n_associated"],
         "trajectory_length": round(traj_len, 3),
         "ate_over_length_pct": round(100.0 * ev["ate_rmse"] / traj_len, 2),

@@ -18,25 +18,9 @@ def make_async(scene, n_slots=200, **overrides):
         map=MapConfig(max_keyframes=32, max_points=2048, n_features=n_slots),
         p_local=512, n_triangulation_neighbors=3, n_fuse_neighbors=2,
         local_ba_window=6, **overrides)
-    import threading, queue as q
-    sys_ = AsyncSLAMSystem.__new__(AsyncSLAMSystem)
-    sys_._lock = threading.Lock()
-    sys_._kf_queue = q.Queue()
-    sys_._abort_ba = threading.Event()
-    sys_._stop_requested = threading.Event()
-    sys_._stopped = threading.Event()
-    sys_._idle = threading.Event(); sys_._idle.set()
-    sys_._pending_deltas = []
-    sys_._shutdown = False
-    sys_._mapper_error = None
-    sys_.cfg = cfg
-    sys_.extractor = None
-    sys_.K = scene.K
-    sys_.K_dev = jnp.asarray(scene.K)
-    sys_.reset()
-    sys_._thread = threading.Thread(target=sys_._mapper_loop, daemon=True)
-    sys_._thread.start()
-    return sys_
+    cfg.orb = None  # oracle-features mode: the real constructor skips the
+    # extractor and starts the mapper + loop threads
+    return AsyncSLAMSystem(cfg)
 
 
 class TestAsyncWithPlaceRecognition:

@@ -30,6 +30,10 @@ def make_async_system(scene, n_slots):
     sys_._pending_deltas = []
     sys_._shutdown = False
     sys_._mapper_error = None
+    sys_._loop_queue = q.Queue()
+    sys_._loop_idle = threading.Event(); sys_._loop_idle.set()
+    sys_._loop_error = None
+    sys_._loop_thread = None
     sys_.cfg = cfg
     sys_.extractor = None
     sys_.K = scene.K
