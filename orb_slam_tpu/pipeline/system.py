@@ -23,7 +23,7 @@ import numpy as np
 
 from orb_slam_tpu.geometry import CameraModel, undistort_points
 from orb_slam_tpu.frontend.orb_extractor import ORBConfig, ORBExtractor
-from orb_slam_tpu.ops.matching import match, window_gate, TH_LOW
+from orb_slam_tpu.ops.matching import match, window_gate, TH_LOW, TH_HIGH
 from orb_slam_tpu.ops.image import to_grayscale
 from orb_slam_tpu.slam_map import MapConfig, MapState, empty_map
 from orb_slam_tpu.slam_map.map_state import (
@@ -286,13 +286,20 @@ class SLAMSystem:
         return poses
 
     def _chunk_extract_track(self, images, C):
-        """ONE device program: grayscale + vmapped extraction + undistortion
-        + scan-chained tracking of up to C frames against the current map
-        snapshot. The image list is padded to C by repeating the last frame
-        (fixed compile shape); padded outputs are ignored by the caller."""
+        """ONE device program: a single lax.scan over frames where each
+        step extracts, undistorts AND tracks that frame against the current
+        map snapshot. One scan (not vmapped extraction + a tracking scan):
+        a vmapped batch streams [C, L, H, W] pyramids through HBM at every
+        elementwise op (bandwidth-bound, measured 5.9 ms/frame marginal),
+        while the fused scan keeps each frame's pyramid and features hot
+        on-chip between extraction and tracking. The image list is padded
+        to C by repeating the last frame (fixed compile shape); padded
+        outputs are ignored by the caller."""
         from functools import partial as _partial
         from orb_slam_tpu.frontend.orb_extractor import _extract_stacked
-        from orb_slam_tpu.pipeline.track_kernels import _track_chunk_body
+        from orb_slam_tpu.pipeline.track_kernels import (
+            chunk_track_step, ChunkResult,
+        )
         from orb_slam_tpu.utils.dispatch import fused_jit
 
         imgs_np = [np.asarray(im) for im in images]
@@ -308,19 +315,25 @@ class SLAMSystem:
 
             def fn(imgs, consts, state, pose0, vel0):
                 gray = to_grayscale(imgs)
-                feats = jax.vmap(
-                    _partial(_extract_stacked, config=cfg.orb,
-                             use_pallas=self.extractor.use_pallas),
-                    in_axes=(0, None))(gray, consts)
-                xy_und = undistort_points(cam, feats.xy)
-                chunk = _track_chunk_body(
-                    state, xy_und, feats.desc_u32, feats.octave,
-                    feats.valid, pose0, vel0, self.K_dev,
-                    p_local=cfg.p_local, width=cam.width, height=cam.height,
-                    radius=cfg.track_radius,
-                    min_inliers=cfg.min_track_inliers,
-                    use_motion_model=cfg.use_motion_model,
-                )
+                extract = _partial(_extract_stacked, config=cfg.orb,
+                                   use_pallas=self.extractor.use_pallas)
+
+                def step(carry, img):
+                    f = extract(img, consts)
+                    xy_und = undistort_points(cam, f.xy)
+                    carry, out = chunk_track_step(
+                        state, xy_und, f.desc_u32, f.octave, f.valid,
+                        carry, self.K_dev,
+                        p_local=cfg.p_local, width=cam.width,
+                        height=cam.height, radius=cfg.track_radius,
+                        max_dist=TH_HIGH, min_inliers=cfg.min_track_inliers,
+                        use_motion_model=cfg.use_motion_model)
+                    return carry, (f, xy_und, out)
+
+                _, (feats, xy_und, outs) = jax.lax.scan(
+                    step, (pose0, vel0), gray)
+                poses, obs, n_in, n_m, vis = outs
+                chunk = ChunkResult(poses, obs, n_in, n_m, vis)
                 return feats, xy_und, chunk
 
             self._chunk_jit[key] = fused_jit(fn)

@@ -221,35 +221,49 @@ def _track_chunk_body(
     held (the host truncates the chunk there anyway)."""
 
     def step(carry, fr):
-        pose, vel = carry
         xy, desc, octv, val = fr
-        T_pred = (vel @ pose) if use_motion_model else pose
-        res = _track_body(
-            state, xy, desc, octv, val, T_pred, K_mat,
-            p_local=p_local, width=width, height=height,
-            radius=radius, max_dist=max_dist,
-        )
-
-        def _retry(_):
-            return _track_body(
-                state, xy, desc, octv, val, pose, K_mat,
-                p_local=p_local, width=width, height=height,
-                radius=radius * 2.0, max_dist=max_dist,
-            )
-
-        res = jax.lax.cond(
-            res.n_inliers < min_inliers, _retry, lambda _: res, None)
-        ok = res.n_inliers >= min_inliers
-        new_pose = jnp.where(ok, res.pose, pose)
-        new_vel = jnp.where(ok, res.pose @ se3_inverse(pose), jnp.eye(4))
-        out = (res.pose, res.obs, res.n_inliers, res.n_matches,
-               res.visible_inc.astype(bool))
-        return (new_pose, new_vel), out
+        return chunk_track_step(
+            state, xy, desc, octv, val, carry, K_mat,
+            p_local=p_local, width=width, height=height, radius=radius,
+            max_dist=max_dist, min_inliers=min_inliers,
+            use_motion_model=use_motion_model)
 
     frames = (feats_xy, feats_desc, feats_octave, feats_valid)
     _, (poses, obs, n_in, n_m, vis) = jax.lax.scan(
         step, (pose0, vel0), frames)
     return ChunkResult(poses, obs, n_in, n_m, vis)
+
+
+def chunk_track_step(state, xy, desc, octv, val, carry, K_mat, *,
+                     p_local, width, height, radius, max_dist,
+                     min_inliers, use_motion_model):
+    """One frame of the chunk recurrence (shared by _track_chunk_body and
+    the fused extract+track scan): motion-model prediction, the
+    wide-window no-motion-model retry on low inliers (Tracking.cc:486-552)
+    and the velocity update (Tracking.cc:282-295)."""
+    pose, vel = carry
+    T_pred = (vel @ pose) if use_motion_model else pose
+    res = _track_body(
+        state, xy, desc, octv, val, T_pred, K_mat,
+        p_local=p_local, width=width, height=height,
+        radius=radius, max_dist=max_dist,
+    )
+
+    def _retry(_):
+        return _track_body(
+            state, xy, desc, octv, val, pose, K_mat,
+            p_local=p_local, width=width, height=height,
+            radius=radius * 2.0, max_dist=max_dist,
+        )
+
+    res = jax.lax.cond(
+        res.n_inliers < min_inliers, _retry, lambda _: res, None)
+    ok = res.n_inliers >= min_inliers
+    new_pose = jnp.where(ok, res.pose, pose)
+    new_vel = jnp.where(ok, res.pose @ se3_inverse(pose), jnp.eye(4))
+    out = (res.pose, res.obs, res.n_inliers, res.n_matches,
+           res.visible_inc.astype(bool))
+    return (new_pose, new_vel), out
 
 
 track_chunk = partial(

@@ -171,15 +171,21 @@ def run_chunks():
                      for i in range(NB)]).astype(np.float32)
 
     def _chunk(imgs, consts, state, pose0, vel0):
-        feats = jax.vmap(
-            partial(_extract_stacked, config=extractor.config,
-                    use_pallas=extractor.use_pallas),
-            in_axes=(0, None))(imgs, consts)
-        xy_und = undistort_points(cam, feats.xy)
-        res = _track_chunk_body(
-            state, xy_und, feats.desc_u32, feats.octave, feats.valid,
-            pose0, vel0, K_mat, p_local=4096, width=W, height=H)
-        return res.pose, res.n_inliers
+        from orb_slam_tpu.pipeline.track_kernels import chunk_track_step
+        extract = partial(_extract_stacked, config=extractor.config,
+                          use_pallas=extractor.use_pallas)
+
+        def one(carry, img):
+            f = extract(img, consts)
+            xy_und = undistort_points(cam, f.xy)
+            carry, out = chunk_track_step(
+                state, xy_und, f.desc_u32, f.octave, f.valid, carry, K_mat,
+                p_local=4096, width=W, height=H, radius=15.0,
+                max_dist=100, min_inliers=30, use_motion_model=True)
+            return carry, (out[0], out[2])
+
+        _, (poses, n_in) = jax.lax.scan(one, (pose0, vel0), imgs)
+        return poses, n_in
 
     step = fused_jit(_chunk)
     touch = jax.jit(lambda x: jnp.sum(x))
@@ -196,6 +202,33 @@ def run_chunks():
         dt = (time.perf_counter() - t0) / N_REP
         print(f"B={B:3d}: {dt*1e3:8.1f} ms/chunk = {dt/B*1e3:6.2f} ms/frame "
               f"({B/dt:.0f} fps sustained)")
+
+    # chunk-slope: marginal DEVICE cost per frame inside one chunked
+    # program (vmapped extraction + scan tracking) — sized-chunk timing
+    # difference cancels the dispatch cost, and vmapped extraction
+    # amortizes op launch latencies the sequential scan-slope pays per
+    # frame. This is the production throughput ceiling per chip.
+    B_LO, B_HI = 16, 56
+    chunks_lo = [jnp.asarray(base[:B_LO] + k * 0.3) for k in range(4)]
+    chunks_hi = [jnp.asarray(base[:B_HI] + k * 0.3) for k in range(4)]
+    for ch in chunks_lo + chunks_hi:
+        float(touch(ch))
+    for ch in (chunks_lo[0], chunks_hi[0]):
+        p, _ = step(ch, consts, m, T0, V0)
+        float(jnp.sum(p))
+    t_lo = t_hi = 1e9
+    for k in range(3):
+        t0 = time.perf_counter()
+        p, _ = step(chunks_lo[k + 1], consts, m, T0, V0)
+        float(jnp.sum(p))
+        t_lo = min(t_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        p, _ = step(chunks_hi[k + 1], consts, m, T0, V0)
+        float(jnp.sum(p))
+        t_hi = min(t_hi, time.perf_counter() - t0)
+    ms = (t_hi - t_lo) / (B_HI - B_LO) * 1e3
+    print(f"chunk-slope marginal device cost: {ms:.2f} ms/frame "
+          f"({1e3/ms:.0f} fps/chip ceiling)")
 
 
 if __name__ == "__main__":
