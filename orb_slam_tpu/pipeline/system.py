@@ -327,7 +327,8 @@ class SLAMSystem:
                         p_local=cfg.p_local, width=cam.width,
                         height=cam.height, radius=cfg.track_radius,
                         max_dist=TH_HIGH, min_inliers=cfg.min_track_inliers,
-                        use_motion_model=cfg.use_motion_model)
+                        use_motion_model=cfg.use_motion_model,
+                        retry=False)
                     return carry, (f, xy_und, out)
 
                 _, (feats, xy_und, outs) = jax.lax.scan(
@@ -380,22 +381,15 @@ class SLAMSystem:
             ts = ts_list[b] if ts_list[b] is not None else fid / 30.0
             n_in = int(cn_in[b])
             if n_in < cfg.min_track_inliers:
-                # lost branch (counters for a lost frame are NOT applied —
-                # _track returns before _apply_counters)
-                self.state = LOST
-                self.lost_count += 1
-                self.velocity = np.eye(4, dtype=np.float32)
-                consumed = b + 1
-                if self.n_keyframes <= 5 and self.kf_counter <= 5:
-                    self.reset()
-                    poses_out.append(None)
-                    return consumed, poses_out
+                # the chunk runs WITHOUT the wide-window retry (its cond
+                # branch costs ~1.2 ms/frame in-scan even untaken, PERF.md);
+                # re-track this frame through the sequential path, which
+                # performs the retry / LOST / relocalisation / keyframe
+                # logic exactly as a non-batched call would
                 _flush_counters()
-                if cfg.enable_relocalisation and self.db is not None \
-                        and self._relocalize(_frame_data(b, fid, ts)):
-                    poses_out.append(self.last_pose.copy())
-                else:
-                    poses_out.append(None)
+                T = self._track(_frame_data(b, fid, ts))
+                poses_out.append(None if T is None else self.last_pose.copy())
+                consumed = b + 1
                 return consumed, poses_out
 
             self.state = WORKING

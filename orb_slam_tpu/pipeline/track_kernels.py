@@ -236,11 +236,17 @@ def _track_chunk_body(
 
 def chunk_track_step(state, xy, desc, octv, val, carry, K_mat, *,
                      p_local, width, height, radius, max_dist,
-                     min_inliers, use_motion_model):
+                     min_inliers, use_motion_model, retry=True):
     """One frame of the chunk recurrence (shared by _track_chunk_body and
-    the fused extract+track scan): motion-model prediction, the
+    the fused extract+track scan): motion-model prediction, optionally the
     wide-window no-motion-model retry on low inliers (Tracking.cc:486-552)
-    and the velocity update (Tracking.cc:282-295)."""
+    and the velocity update (Tracking.cc:282-295).
+
+    retry=False: the cond's untaken retry branch still costs ~1.2 ms/frame
+    inside the scan (measured); the production batch path disables it and
+    the HOST replay re-enters through the sequential _track (which does
+    retry) at the first low-inlier frame — identical results, the retry
+    cost paid only on actually-weak frames."""
     pose, vel = carry
     T_pred = (vel @ pose) if use_motion_model else pose
     res = _track_body(
@@ -249,15 +255,16 @@ def chunk_track_step(state, xy, desc, octv, val, carry, K_mat, *,
         radius=radius, max_dist=max_dist,
     )
 
-    def _retry(_):
-        return _track_body(
-            state, xy, desc, octv, val, pose, K_mat,
-            p_local=p_local, width=width, height=height,
-            radius=radius * 2.0, max_dist=max_dist,
-        )
+    if retry:
+        def _retry(_):
+            return _track_body(
+                state, xy, desc, octv, val, pose, K_mat,
+                p_local=p_local, width=width, height=height,
+                radius=radius * 2.0, max_dist=max_dist,
+            )
 
-    res = jax.lax.cond(
-        res.n_inliers < min_inliers, _retry, lambda _: res, None)
+        res = jax.lax.cond(
+            res.n_inliers < min_inliers, _retry, lambda _: res, None)
     ok = res.n_inliers >= min_inliers
     new_pose = jnp.where(ok, res.pose, pose)
     new_vel = jnp.where(ok, res.pose @ se3_inverse(pose), jnp.eye(4))

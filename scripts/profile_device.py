@@ -181,7 +181,8 @@ def run_chunks():
             carry, out = chunk_track_step(
                 state, xy_und, f.desc_u32, f.octave, f.valid, carry, K_mat,
                 p_local=4096, width=W, height=H, radius=15.0,
-                max_dist=100, min_inliers=30, use_motion_model=True)
+                max_dist=100, min_inliers=30, use_motion_model=True,
+                retry=False)
             return carry, (out[0], out[2])
 
         _, (poses, n_in) = jax.lax.scan(one, (pose0, vel0), imgs)
