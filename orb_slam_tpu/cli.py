@@ -51,32 +51,76 @@ def cmd_run(args):
         p_local=args.p_local,
         min_init_matches=args.min_init_matches,
         min_init_keypoints=args.min_init_matches,
+        track_chunk_size=max(1, args.chunk),
     )
-    system = SLAMSystem(cfg)
+    if args.use_async:
+        # threaded pipeline: tracking here, LocalMapping + LoopClosing on
+        # their own threads (the reference's 3-thread layout, main.cc:123-133)
+        from orb_slam_tpu.pipeline.async_system import AsyncSLAMSystem
+        system = AsyncSLAMSystem(cfg)
+    else:
+        system = SLAMSystem(cfg)
     ds = PrefetchIterator(open_dataset(args.dataset))
 
-    n, t0 = 0, time.perf_counter()
-    for ts, img in ds:
-        pose = system.process(img=img, timestamp=ts)
-        n += 1
-        if n % 30 == 0:
-            dt = time.perf_counter() - t0
-            print(
-                f"[{n}] state={STATE_NAMES[system.state]} "
-                f"kfs={system.n_keyframes} pts={system.n_points} "
-                f"loops={system.n_loops_closed} fps={n / dt:.1f}",
-                file=sys.stderr,
-            )
-        if args.viz_every and n % args.viz_every == 0:
-            from orb_slam_tpu.io.viz import draw_map
-            draw_map(system, args.viz_out)
-        if args.max_frames and n >= args.max_frames:
-            break
+    def _progress(n, t0):
+        dt = time.perf_counter() - t0
+        print(
+            f"[{n}] state={STATE_NAMES[system.state]} "
+            f"kfs={system.n_keyframes} pts={system.n_points} "
+            f"loops={system.n_loops_closed} fps={n / dt:.1f}",
+            file=sys.stderr,
+        )
 
+    n, t0 = 0, time.perf_counter()
+    if args.chunk > 1:
+        # fast path (default): buffer frames and run scan-chained chunks —
+        # ONE device program per chunk (see SLAMSystem.process_batch);
+        # results match the per-frame path exactly
+        buf_img, buf_ts = [], []
+
+        def _drain():
+            nonlocal n
+            if not buf_img:
+                return
+            system.process_batch(buf_img, timestamps=buf_ts,
+                                 chunk_size=args.chunk)
+            n += len(buf_img)
+            buf_img.clear()
+            buf_ts.clear()
+            _progress(n, t0)
+            if args.viz_every and (n // args.chunk) % max(
+                    1, args.viz_every // args.chunk) == 0:
+                from orb_slam_tpu.io.viz import draw_map
+                draw_map(system, args.viz_out)
+
+        for ts, img in ds:
+            buf_img.append(img)
+            buf_ts.append(ts)
+            if len(buf_img) >= args.chunk:
+                _drain()
+            if args.max_frames and n >= args.max_frames:
+                break
+        _drain()
+    else:
+        for ts, img in ds:
+            system.process(img=img, timestamp=ts)
+            n += 1
+            if n % 30 == 0:
+                _progress(n, t0)
+            if args.viz_every and n % args.viz_every == 0:
+                from orb_slam_tpu.io.viz import draw_map
+                draw_map(system, args.viz_out)
+            if args.max_frames and n >= args.max_frames:
+                break
+
+    if args.use_async:
+        system.finish()
+    wall = time.perf_counter() - t0
     print(
         f"[final] frames={n} keyframes={system.n_keyframes} "
         f"points={system.n_points} loops_closed={system.n_loops_closed} "
-        f"state={STATE_NAMES[system.state]}",
+        f"state={STATE_NAMES[system.state]} "
+        f"fps={n / max(wall, 1e-9):.1f}",
         file=sys.stderr,
     )
     write_tum(args.out, system.keyframe_trajectory(), fps=extras["fps"])
@@ -122,6 +166,12 @@ def main(argv=None):
     r.add_argument("--min-init-matches", type=int, default=100,
                    help="two-view init acceptance floor "
                         "(reference: Tracking.cc:345)")
+    r.add_argument("--chunk", type=int, default=16,
+                   help="frames per device program (scan-chained tracking; "
+                        "1 = per-frame dispatch, the round-1 slow path)")
+    r.add_argument("--async", dest="use_async", action="store_true",
+                   help="run LocalMapping + LoopClosing on background "
+                        "threads (the reference's 3-thread layout)")
     r.set_defaults(fn=cmd_run)
 
     e = sub.add_parser("eval", help="ATE RMSE vs ground truth (TUM format)")

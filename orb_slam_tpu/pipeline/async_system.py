@@ -47,6 +47,11 @@ class AsyncSLAMSystem(SLAMSystem):
         self._kf_queue: queue.Queue = queue.Queue()
         self._abort_ba = threading.Event()
         self._stop_requested = threading.Event()
+        # owner of the stop/release park window: the loop thread's exclusive
+        # correction window and tracker-side reset() both park the mapper;
+        # without an owner, a reset's release() could un-park the mapper in
+        # the middle of a loop correction (two concurrent map writers)
+        self._park_lock = threading.Lock()
         self._stopped = threading.Event()
         self._idle = threading.Event()
         self._idle.set()
@@ -56,6 +61,7 @@ class AsyncSLAMSystem(SLAMSystem):
         self._loop_queue: queue.Queue = queue.Queue()
         self._loop_idle = threading.Event()
         self._loop_idle.set()
+        self._loop_wants_park = False
         self._loop_error = None
         super().__init__(cfg)
         self._thread = threading.Thread(target=self._mapper_loop, daemon=True)
@@ -167,12 +173,26 @@ class AsyncSLAMSystem(SLAMSystem):
                 # CorrectLoop under an exclusive-writer window
                 # (LoopClosing.cc:401-406 stop ... 550 release). The
                 # reference spin-waits until LocalMapping actually parks;
-                # a long-running integration must complete first.
+                # a long-running integration must complete first. The park
+                # window is OWNED (park lock): a concurrent tracker reset()
+                # must wait for the correction to finish instead of
+                # un-parking the mapper mid-surgery.
+                self._loop_wants_park = True
+                try:
+                    while not self._park_lock.acquire(timeout=0.5):
+                        if self._shutdown:
+                            break
+                finally:
+                    self._loop_wants_park = False
+                if self._shutdown:
+                    break
                 self._stop_requested.set()
                 while not self._stopped.wait(timeout=1.0):
                     if self._shutdown:
                         break
                 if self._shutdown:
+                    self._stop_requested.clear()
+                    self._park_lock.release()
                     break
                 try:
                     if bool(self.map.kf_valid[slot]) and bool(
@@ -180,7 +200,8 @@ class AsyncSLAMSystem(SLAMSystem):
                         if lc.correct(self, slot, cand, S12):
                             self.n_loops_closed += 1
                 finally:
-                    self.release()
+                    self._release_parked()
+                    self._park_lock.release()
             except Exception as e:  # surface in finish()
                 self._loop_error = e
             finally:
@@ -190,19 +211,33 @@ class AsyncSLAMSystem(SLAMSystem):
     # ---------------------------------------------------------- control plane
 
     def request_stop(self):
-        """Park the mapper (LocalMapping::RequestStop + Stop)."""
+        """Park the mapper (LocalMapping::RequestStop + Stop). Blocks until
+        any current park-window owner (e.g. an in-flight loop correction)
+        releases — the caller becomes the new owner and must call
+        release()."""
+        self._park_lock.acquire()
         self._stop_requested.set()
         self._stopped.wait(timeout=30.0)
 
-    def release(self):
+    def _release_parked(self):
         """Resume the mapper and drop queued keyframes
-        (LocalMapping::Release clears the queue, LocalMapping.cc:507-517)."""
+        (LocalMapping::Release clears the queue, LocalMapping.cc:507-517).
+        Caller must own the park window."""
         while not self._kf_queue.empty():
             try:
                 self._kf_queue.get_nowait()
             except queue.Empty:
                 break
         self._stop_requested.clear()
+
+    def release(self):
+        """Public counterpart of request_stop(): resume the mapper and give
+        up park-window ownership."""
+        self._release_parked()
+        try:
+            self._park_lock.release()
+        except RuntimeError:
+            pass  # not owned (defensive: release without request_stop)
 
     def finish(self, timeout: float = 120.0):
         """Drain both queues and wait for the mapper + loop threads to go
@@ -230,17 +265,38 @@ class AsyncSLAMSystem(SLAMSystem):
 
     def reset(self):
         """Reset protocol (Tracking::Reset, src/Tracking.cc:1026-1094):
-        stop the mapper, clear queues, rebuild state, release."""
-        if hasattr(self, "_thread") and self._thread.is_alive():
-            self.request_stop()
-            self.release()
+        drain the loop thread, stop the mapper, clear queues, rebuild
+        state, release. Acquiring the park window (request_stop) blocks
+        until an in-flight loop correction finishes, and the loop queue is
+        drained BEFORE waiting for idle so no further correction can start
+        while state is being rebuilt."""
         if hasattr(self, "_loop_queue"):
             while not self._loop_queue.empty():
                 try:
                     self._loop_queue.get_nowait()
                 except queue.Empty:
                     break
-            self._loop_idle.set()
+        if hasattr(self, "_thread") and self._thread.is_alive():
+            # ownership: blocks while the loop thread holds the window
+            self.request_stop()
+            try:
+                if (getattr(self, "_loop_thread", None) is not None
+                        and self._loop_thread.is_alive()):
+                    # a loop-thread correction that is itself waiting for
+                    # the park window we now own cannot go idle — let it
+                    # through; it will no-op on the rebuilt map (kf_valid
+                    # all False, the reference's RequestReset analog)
+                    t0 = time.time()
+                    while (not self._loop_idle.is_set()
+                           and not self._loop_wants_park
+                           and time.time() - t0 < 60.0):
+                        time.sleep(0.005)
+                with self._lock:
+                    self._pending_deltas = []
+                super().reset()
+            finally:
+                self.release()
+            return
         with getattr(self, "_lock", threading.Lock()):
             self._pending_deltas = []
         super().reset()

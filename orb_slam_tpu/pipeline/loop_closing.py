@@ -14,13 +14,14 @@ GN) are the jitted kernels from solvers/."""
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from orb_slam_tpu.ops.matching import match, TH_LOW
 from orb_slam_tpu.place.database import KeyFrameDatabase
-from orb_slam_tpu.place.vocabulary import l1_score
 from orb_slam_tpu.slam_map.covisibility import covisibility_weights
 from orb_slam_tpu.slam_map.observations import refresh_point_stats
 from orb_slam_tpu.solvers.sim3 import sim3_ransac, optimize_sim3
@@ -28,7 +29,7 @@ from orb_slam_tpu.solvers.essential_graph import (
     optimize_essential_graph, relative_sim3,
 )
 from orb_slam_tpu.geometry.sim3 import sim3_compose, sim3_inverse
-from orb_slam_tpu.pipeline.mapping_kernels import fuse_into_keyframe
+from orb_slam_tpu.pipeline.mapping_kernels import fuse_points_into_keyframes
 
 
 from orb_slam_tpu.utils.dispatch import fused_jit
@@ -82,17 +83,21 @@ def search_by_sim3(state, kf1, kf2, s, R, t, K_mat, radius: float = 7.5):
     return idx, ok
 
 
-@fused_jit
-def project_loop_points(state, new_kf, loop_mask, matched_feat,
+@partial(fused_jit, static_argnames=("scale_factor", "n_levels"))
+def project_loop_points(state, new_kf, loop_mask, matched_feat, matched_pts,
                         s, R, t, T_cand, K_mat,
-                        width: float, height: float, th: float = 10.0):
+                        width: float, height: float, th: float = 10.0,
+                        scale_factor: float = 1.2, n_levels: int = 8):
     """SearchByProjection(KF, Scw, vpPoints, vpMatched, th) — the loop
     verification matcher (reference: src/ORBmatcher.cc:286-407, called
     from LoopClosing::ComputeSim3 at LoopClosing.cc:375-394): project the
     loop neighborhood's map points into the current keyframe through the
     corrected Sim3, gate by image bounds / scale-band distance / viewing
     angle / predicted-octave radius, Hamming-match against features not
-    already matched. Returns (point_of_feat [N] i32, ok [N] bool)."""
+    already matched. matched_pts [P] masks loop points already bound by the
+    Sim3 inliers (the reference's sAlreadyFound, ORBmatcher.cc:300-304) so
+    an inlier point cannot double-count toward the >=40 acceptance gate.
+    Returns (point_of_feat [N] i32, ok [N] bool)."""
     P = state.pt_valid.shape[0]
     N = state.kf_obs.shape[1]
     # de-scaled camera coords (the reference divides Scw by its scale,
@@ -113,11 +118,13 @@ def project_loop_points(state, new_kf, loop_mask, matched_feat,
     C_cur = -(R_cur.T @ t_cur)           # cur camera center in world
     PO = state.pt_pos - C_cur
     view_ok = jnp.sum(PO * state.pt_normal, axis=-1) > 0.5 * dist
-    pt_ok = (state.pt_valid & loop_mask & in_img & band & view_ok)
+    pt_ok = (state.pt_valid & loop_mask & ~matched_pts & in_img & band
+             & view_ok)
     # predicted octave + radius (ORBmatcher.cc:340-350)
     ratio = jnp.maximum(state.pt_max_dist / jnp.maximum(dist, 1e-9), 1.0)
-    pred = jnp.clip(jnp.ceil(jnp.log(ratio) / jnp.log(1.2)), 0, 7)
-    radius = th * 1.2 ** pred
+    pred = jnp.clip(jnp.ceil(jnp.log(ratio) / jnp.log(scale_factor)),
+                    0, n_levels - 1)
+    radius = th * scale_factor ** pred
     d = jnp.stack([u, v], -1)[:, None, :] - state.kf_xy[new_kf][None, :, :]
     gate = jnp.sum(d * d, -1) <= (radius * radius)[:, None]
     octv = state.kf_octave[new_kf].astype(jnp.float32)
@@ -159,15 +166,13 @@ class LoopCloser:
         try:
             if system.kf_counter - self.last_loop_kf_counter < 10:
                 return [], ids, w
-            # min score among covisible neighbors (LoopClosing.cc:114-131)
-            if covis:
-                scores = [
-                    float(l1_score(ids, w, self.db.bow_ids[c], self.db.bow_w[c]))
-                    for c in covis if self.db.active[c]
-                ]
-                min_score = min(scores) if scores else 0.05
-            else:
-                min_score = 0.05
+            # min score among covisible neighbors (LoopClosing.cc:114-131),
+            # computed under the database lock (the mapper thread may be
+            # adding/erasing concurrently). 0.05 fallback when no covisible
+            # has a BoW entry yet — the reference would keep its initial
+            # minScore=1, but always has covisibles by the time loops can
+            # exist; the floor only matters in tiny synthetic maps.
+            min_score = self.db.min_covisible_score(ids, w, covis)
 
             cands = self.db.detect_loop_candidates(
                 ids, w, new_kf, covis, min_score, W_np)
@@ -234,12 +239,13 @@ class LoopCloser:
             x_cand = m.pt_pos[pid_cand_s]
             p1 = x_cur @ T_cur[:3, :3].T + T_cur[:3, 3]     # cur cam frame
             p2 = x_cand @ T_cand[:3, :3].T + T_cand[:3, 3]  # cand cam frame
+            sf = system.cfg.map.scale_factor
             uv1 = m.kf_xy[new_kf]
             uv2 = m.kf_xy[cand][idx]
             oct1 = m.kf_octave[new_kf].astype(jnp.float32)
             oct2 = m.kf_octave[cand][idx].astype(jnp.float32)
-            s2_1 = 1.2 ** (2.0 * oct1)
-            s2_2 = 1.2 ** (2.0 * oct2)
+            s2_1 = sf ** (2.0 * oct1)
+            s2_2 = sf ** (2.0 * oct2)
 
             self._key, key = jax.random.split(self._key)
             self.debug_last["with_points"] = int(jnp.sum(ok))
@@ -265,7 +271,7 @@ class LoopCloser:
             p2m = x_cand2 @ T_cand[:3, :3].T + T_cand[:3, 3]
             uv2m = m.kf_xy[cand][idx2]
             oct2m = m.kf_octave[cand][idx2].astype(jnp.float32)
-            s2_2m = 1.2 ** (2.0 * oct2m)
+            s2_2m = sf ** (2.0 * oct2m)
 
             s, R, t, inl, n_in = optimize_sim3(
                 s, R, t, p1, p2m, uv1, uv2m, ok2,
@@ -281,11 +287,19 @@ class LoopCloser:
             loop_mask = np.zeros(P, bool)
             obs_g = np.asarray(m.kf_obs[np.asarray(group, np.int32)])
             loop_mask[obs_g[obs_g >= 0]] = True
+            # loop points already bound through the Sim3 inliers must not
+            # re-match to a second feature (sAlreadyFound,
+            # ORBmatcher.cc:300-304)
+            matched_pts = np.zeros(P, bool)
+            found_pids = np.asarray(pid_cand2)[np.asarray(inl)]
+            matched_pts[found_pids[found_pids >= 0]] = True
             feat_pt, proj_ok = project_loop_points(
                 m, new_kf, jnp.asarray(loop_mask), inl,
+                jnp.asarray(matched_pts),
                 s, R, t, m.kf_pose[cand], system.K_dev,
                 width=float(system.cfg.camera.width),
-                height=float(system.cfg.camera.height))
+                height=float(system.cfg.camera.height),
+                scale_factor=sf, n_levels=system.cfg.map.n_levels)
             n_total = int(jnp.sum(inl)) + int(jnp.sum(proj_ok))
             dbg(f"sim3 cand {cand}: opt_inliers={int(n_in)} "
                 f"projected={int(jnp.sum(proj_ok))} total={n_total}")
@@ -300,7 +314,9 @@ class LoopCloser:
     def correct(self, system, new_kf: int, cand: int, S12):
         """CorrectLoop (LoopClosing.cc:397-550). S12 = (s,R,t) with
         p_cur = s R p_cand + t."""
-        m = refresh_point_stats(system.map)
+        _sf = system.cfg.map.scale_factor
+        _nl = system.cfg.map.n_levels
+        m = refresh_point_stats(system.map, scale_factor=_sf, n_levels=_nl)
         K = m.kf_valid.shape[0]
         P = m.pt_valid.shape[0]
         kf_valid = np.asarray(m.kf_valid)
@@ -362,20 +378,28 @@ class LoopCloser:
         # cross-loop connections, LoopClosing.cc:521-525)
         prev_nb = {k: set(np.where(W_np[k] >= 15)[0].tolist()) for k in group}
 
-        # --- fuse duplicates: project the loop-side neighborhood's points
-        # into EVERY corrected keyframe (SearchAndFuse, LoopClosing.cc:557-570
-        # over mvpLoopMapPoints = points of cand + its covisibles)
+        # --- fuse duplicates: project the loop-side neighborhood's point
+        # SET into EVERY corrected keyframe (SearchAndFuse,
+        # LoopClosing.cc:557-570 over mvpLoopMapPoints = points of cand +
+        # its covisibles) — ONE device dispatch (lax.scan over the corrected
+        # group) so the exclusive-writer window stays short in async mode
         cand_group = [cand] + [int(k) for k in np.where(W_np[cand] > 0)[0]]
-        for dst in group:
-            if not kf_valid[dst]:
-                continue
-            for src in cand_group:
-                if src != dst and kf_valid[src]:
-                    m, _, _, remap = fuse_into_keyframe(
-                        m, src, dst, system.K_dev,
-                        width=system.cfg.camera.width,
-                        height=system.cfg.camera.height)
-                    system._compose_forward(remap)
+        loop_pts = np.zeros(P, bool)
+        obs_cg = np.asarray(m.kf_obs[np.asarray(cand_group, np.int32)])
+        loop_pts[obs_cg[obs_cg >= 0]] = True
+        dsts = [d for d in group if kf_valid[d]]
+        G_pad = 1
+        while G_pad < max(len(dsts), 2):
+            G_pad *= 2
+        dst_arr = np.full(G_pad, -1, np.int32)
+        dst_arr[:len(dsts)] = dsts
+        m, remap = fuse_points_into_keyframes(
+            m, jnp.asarray(loop_pts), jnp.asarray(dst_arr), system.K_dev,
+            width=system.cfg.camera.width,
+            height=system.cfg.camera.height,
+            scale_factor=system.cfg.map.scale_factor,
+            n_levels=system.cfg.map.n_levels)
+        system._compose_forward(remap)
         system._reclaim_points(m)
 
         # --- essential graph -------------------------------------------------
@@ -510,7 +534,7 @@ class LoopCloser:
             kf_pose=jnp.asarray(poses_new),
             loop_edges=jnp.asarray(le),
         )
-        system.map = refresh_point_stats(m)
+        system.map = refresh_point_stats(m, scale_factor=_sf, n_levels=_nl)
         system.last_pose = poses_new[new_kf].copy()
         system.velocity = np.eye(4, dtype=np.float32)
         self.last_loop_kf_counter = system.kf_counter

@@ -46,9 +46,9 @@ class TriangulationCandidates(NamedTuple):
     valid: jnp.ndarray     # [N] bool
 
 
-@fused_jit
+@partial(fused_jit, static_argnames=("scale_factor",))
 def triangulate_new_points(
-    state: MapState, kf_a, kf_b, K_mat
+    state: MapState, kf_a, kf_b, K_mat, scale_factor: float = 1.2
 ) -> TriangulationCandidates:
     """Match UNBOUND features of kf_a against unbound features of kf_b under
     the epipolar constraint, triangulate, and gate.
@@ -74,7 +74,7 @@ def triangulate_new_points(
     num = lines[:, None, 0] * xy_b[None, :, 0] + lines[:, None, 1] * xy_b[None, :, 1] + lines[:, None, 2:3][:, :, 0]
     den = jnp.maximum(lines[:, 0] ** 2 + lines[:, 1] ** 2, 1e-12)[:, None]
     epi_d2 = num * num / den
-    sigma2_b = 1.2 ** (2.0 * oct_b.astype(jnp.float32))
+    sigma2_b = scale_factor ** (2.0 * oct_b.astype(jnp.float32))
     gate = epi_d2 < 3.84 * sigma2_b[None, :]
 
     best_idx, best_dist, matched = match(
@@ -122,7 +122,7 @@ def triangulate_new_points(
     va = fy * pca[:, 1] / za + cy
     ub = fx * pcb[:, 0] / zb + cx
     vb = fy * pcb[:, 1] / zb + cy
-    sigma2_a = 1.2 ** (2.0 * oct_a.astype(jnp.float32))
+    sigma2_a = scale_factor ** (2.0 * oct_a.astype(jnp.float32))
     e_a = (ua - xy_a[:, 0]) ** 2 + (va - xy_a[:, 1]) ** 2
     e_b = (ub - xb[:, 0]) ** 2 + (vb - xb[:, 1]) ** 2
     reproj_ok = (e_a < CHI2_2D * sigma2_a) & (
@@ -131,10 +131,10 @@ def triangulate_new_points(
 
     # scale consistency (LocalMapping.cc:335-352)
     ratio_dist = na / jnp.maximum(nb, 1e-12)
-    ratio_oct = 1.2 ** (
+    ratio_oct = scale_factor ** (
         (oct_a - oct_b[best_idx]).astype(jnp.float32)
     )
-    ratio_factor = 1.5 * 1.2
+    ratio_factor = 1.5 * scale_factor
     scale_ok = (ratio_dist * ratio_factor > ratio_oct) & (
         ratio_dist < ratio_oct * ratio_factor
     )
@@ -210,9 +210,11 @@ def insert_new_points(
     return new_state, jnp.sum(active)
 
 
-@partial(fused_jit, static_argnames=("width", "height"))
+@partial(fused_jit, static_argnames=("width", "height", "scale_factor",
+                                     "n_levels"))
 def fuse_into_keyframe(state: MapState, src_kf, dst_kf, K_mat,
-                       width: int = 640, height: int = 480):
+                       width: int = 640, height: int = 480,
+                       scale_factor: float = 1.2, n_levels: int = 8):
     """Project src_kf's bound points into dst_kf, match, then either bind
     unbound features or MERGE duplicate points (keep the one with more
     observations; rebind the loser everywhere). Replaces ORBmatcher::Fuse +
@@ -243,10 +245,12 @@ def fuse_into_keyframe(state: MapState, src_kf, dst_kf, K_mat,
     # gate: 3 sigma radius by predicted level (Fuse uses th=3.0 * scale)
     ratio = jnp.maximum(state.pt_max_dist[pid_safe], 1e-9) / jnp.maximum(dist, 1e-9)
     pred = jnp.clip(
-        jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / jnp.log(1.2)).astype(jnp.int32),
-        0, 7,
+        jnp.ceil(
+            jnp.log(jnp.maximum(ratio, 1e-9)) / jnp.log(scale_factor)
+        ).astype(jnp.int32),
+        0, n_levels - 1,
     )
-    r = 3.0 * 1.2 ** pred.astype(jnp.float32)
+    r = 3.0 * scale_factor ** pred.astype(jnp.float32)
     xy_dst = state.kf_xy[dst_kf]
     d = proj[:, None, :] - xy_dst[None, :, :]
     gate = jnp.sum(d * d, -1) <= (r * r)[:, None]
@@ -331,6 +335,141 @@ def fuse_into_keyframe(state: MapState, src_kf, dst_kf, K_mat,
         pt_visible=state.pt_visible + add_vis,
         pt_found=state.pt_found + add_fnd,
     ), jnp.sum(bind_free), jnp.sum(has_existing), remap_out
+
+
+@partial(fused_jit, static_argnames=("width", "height", "scale_factor",
+                                     "n_levels"))
+def fuse_points_into_keyframes(state: MapState, pt_mask, dst_kfs, K_mat,
+                               width: int = 640, height: int = 480,
+                               scale_factor: float = 1.2, n_levels: int = 8):
+    """SearchAndFuse (reference: src/LoopClosing.cc:557-570 +
+    ORBmatcher::Fuse(KF, Scw, ...), src/ORBmatcher.cc:1136-1265): project a
+    point SET (pt_mask, the loop neighborhood's mvpLoopMapPoints) into
+    EVERY keyframe of dst_kfs and bind/merge duplicates — ONE device
+    dispatch (a lax.scan over destinations) instead of one kernel per
+    (src, dst) pair. dst_kfs: [G] i32 keyframe slots, -1 = no-op padding.
+
+    Merge semantics match fuse_into_keyframe: an unbound matched feature is
+    bound to the projected point; a bound one merges, the point with more
+    observations winning (MapPoint::Replace). Returns (new_state,
+    remap [P] i32) where remap composes all per-destination merges for the
+    host's forwarding table."""
+    P = state.pt_valid.shape[0]
+    N = state.kf_obs.shape[1]
+
+    def one_dst(carry, dst_kf):
+        st, remap_acc = carry
+        valid_dst = dst_kf >= 0
+        dst = jnp.maximum(dst_kf, 0)
+
+        T_dst = st.kf_pose[dst]
+        pc = st.pt_pos @ T_dst[:3, :3].T + T_dst[:3, 3]
+        z = pc[:, 2]
+        zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        u = K_mat[0, 0] * pc[:, 0] / zs + K_mat[0, 2]
+        v = K_mat[1, 1] * pc[:, 1] / zs + K_mat[1, 2]
+        proj = jnp.stack([u, v], -1)
+        in_img = (z > 0) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+
+        C = -T_dst[:3, :3].T @ T_dst[:3, 3]
+        dist = jnp.linalg.norm(st.pt_pos - C, axis=-1)
+        # bare scale band — Fuse(Scw) has no 0.8/1.2 slack
+        # (ORBmatcher.cc:1178-1181)
+        band_ok = (dist >= st.pt_min_dist) & (dist <= st.pt_max_dist)
+        # viewing angle < 60 deg (ORBmatcher.cc:1188-1191)
+        rays = st.pt_pos - C
+        view_ok = jnp.sum(rays * st.pt_normal, axis=-1) > 0.5 * dist
+        # skip points the destination already observes (pAlreadyFound /
+        # IsInKeyFrame check, ORBmatcher.cc:1163)
+        dst_obs = st.kf_obs[dst]
+        already = jnp.zeros((P + 1,), bool).at[
+            jnp.where(dst_obs >= 0, dst_obs, P)].set(True)[:P]
+        candidate = (st.pt_valid & pt_mask & valid_dst & in_img & band_ok
+                     & view_ok & ~already)
+
+        ratio = jnp.maximum(st.pt_max_dist, 1e-9) / jnp.maximum(dist, 1e-9)
+        pred = jnp.clip(
+            jnp.ceil(
+                jnp.log(jnp.maximum(ratio, 1e-9)) / jnp.log(scale_factor)
+            ).astype(jnp.int32),
+            0, n_levels - 1)
+        # Fuse(Scw) uses radius 4.0 * scale (ORBmatcher.cc:1199)
+        r = 4.0 * scale_factor ** pred.astype(jnp.float32)
+        xy_dst = st.kf_xy[dst]
+        d = proj[:, None, :] - xy_dst[None, :, :]
+        gate = jnp.sum(d * d, -1) <= (r * r)[:, None]
+        oct_dst = st.kf_octave[dst]
+        gate &= (oct_dst[None, :] >= pred[:, None] - 1) & (
+            oct_dst[None, :] <= pred[:, None] + 1)
+
+        best_idx, best_dist, matched = match(
+            st.pt_desc, st.kf_desc[dst],
+            allowed=gate, valid_a=candidate,
+            valid_b=st.kf_feat_valid[dst],
+            max_dist=TH_LOW, nn_ratio=1.0, unique=True,
+        )
+
+        pids = jnp.arange(P, dtype=jnp.int32)  # src point per row
+
+        dst_bound = st.kf_obs[dst][best_idx]
+        dst_bound_safe = jnp.clip(dst_bound, 0, P - 1)
+        has_existing = (matched & (dst_bound >= 0)
+                        & st.pt_valid[dst_bound_safe] & (dst_bound != pids))
+
+        # bind free features
+        bind_free = matched & (dst_bound < 0)
+        row = st.kf_obs[dst]
+        row = row.at[best_idx].set(jnp.where(bind_free, pids, row[best_idx]))
+        obs_all = st.kf_obs.at[dst].set(row)
+
+        # merge duplicates — the LOOP point always wins: the reference
+        # replaces the keyframe's existing point with the loop map point
+        # unconditionally (pRep->Replace(mvpLoopMapPoints[i]),
+        # LoopClosing.cc:565-570)
+        loser = dst_bound
+        winner = pids
+        remap = jnp.arange(P, dtype=jnp.int32)
+        loser_safe = jnp.where(has_existing, loser, P)
+        remap_pad = jnp.concatenate([remap, jnp.full((1,), -1, jnp.int32)])
+        remap_pad = remap_pad.at[loser_safe].set(
+            jnp.where(has_existing, winner, -1))
+        remap = remap_pad[:P]
+        killed = remap != jnp.arange(P)
+        n_doubling = max(P.bit_length(), 1)
+        for _ in range(n_doubling):
+            remap = remap[remap]
+        obs_remapped = jnp.where(
+            obs_all >= 0, remap[jnp.clip(obs_all, 0, P - 1)], -1)
+        obs_remapped = jnp.where(
+            (obs_remapped >= 0) & killed[jnp.clip(obs_remapped, 0, P - 1)],
+            -1, obs_remapped)
+        pt_valid = st.pt_valid & ~killed
+
+        add_vis = jnp.zeros((P + 1,), jnp.int32).at[
+            jnp.where(killed, remap, P)
+        ].add(jnp.where(killed, st.pt_visible, 0))[:P]
+        add_fnd = jnp.zeros((P + 1,), jnp.int32).at[
+            jnp.where(killed, remap, P)
+        ].add(jnp.where(killed, st.pt_found, 0))[:P]
+
+        st = st._replace(
+            kf_obs=obs_remapped,
+            pt_valid=pt_valid,
+            pt_visible=st.pt_visible + add_vis,
+            pt_found=st.pt_found + add_fnd,
+        )
+        # compose this destination's merge into the running forward table
+        step_fwd = jnp.where(killed & killed[jnp.clip(remap, 0, P - 1)],
+                             -1, remap)
+        acc_ok = remap_acc >= 0
+        remap_acc = jnp.where(
+            acc_ok, step_fwd[jnp.clip(remap_acc, 0, P - 1)], -1)
+        return (st, remap_acc), None
+
+    remap0 = jnp.arange(P, dtype=jnp.int32)
+    (new_state, remap_out), _ = jax.lax.scan(
+        one_dst, (state, remap0), dst_kfs)
+    return new_state, remap_out
 
 
 @fused_jit

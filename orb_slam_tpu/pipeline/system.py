@@ -116,13 +116,27 @@ class SlamConfig:
         if self.camera is None:
             self.camera = CameraModel.create(500.0, 500.0, 320.0, 240.0)
         if self.map is None:
-            self.map = MapConfig(n_features=self.orb.n_features)
+            self.map = MapConfig(n_features=self.orb.n_features,
+                                 n_levels=self.orb.n_levels,
+                                 scale_factor=self.orb.scale_factor)
+        elif self.orb is not None:
+            # the extractor settings are authoritative for the pyramid
+            # (the reference derives every scale table from them,
+            # ORBextractor.cc:476-487, Frame.cc:95-107)
+            from dataclasses import replace as _dc_replace
+            if (self.map.n_levels != self.orb.n_levels
+                    or self.map.scale_factor != self.orb.scale_factor):
+                self.map = _dc_replace(
+                    self.map, n_levels=self.orb.n_levels,
+                    scale_factor=self.orb.scale_factor)
         # the tracking candidate pool cannot exceed the point capacity
         self.p_local = min(self.p_local, self.map.max_points)
         if not self.bow_slots:
             # every feature may land on a distinct word; fewer slots would
-            # silently drop BoW mass (advisor finding, round 1)
-            self.bow_slots = self.orb.n_features
+            # silently drop BoW mass (advisor finding, round 1). Oracle
+            # mode (orb=None, features fed directly) sizes off the map.
+            self.bow_slots = (self.orb.n_features if self.orb is not None
+                              else self.map.n_features)
 
 
 class FrameData:
@@ -326,6 +340,8 @@ class SLAMSystem:
                         carry, self.K_dev,
                         p_local=cfg.p_local, width=cam.width,
                         height=cam.height, radius=cfg.track_radius,
+                        scale_factor=cfg.map.scale_factor,
+                        n_levels=cfg.map.n_levels,
                         max_dist=TH_HIGH, min_inliers=cfg.min_track_inliers,
                         use_motion_model=cfg.use_motion_model,
                         retry=False)
@@ -360,12 +376,15 @@ class SLAMSystem:
         counters_dirty = False
 
         def _flush_counters():
+            # routed through _apply_counters: AsyncSLAMSystem overrides it
+            # to BUFFER deltas for the mapper thread (the sole map writer)
+            # instead of mutating self.map from this caller thread
             nonlocal counters_dirty
             if counters_dirty:
-                self.map = self.map._replace(
-                    pt_visible=self.map.pt_visible + jnp.asarray(vis_sum),
-                    pt_found=self.map.pt_found + jnp.asarray(found_sum),
-                )
+                from types import SimpleNamespace
+                self._apply_counters(SimpleNamespace(
+                    visible_inc=jnp.asarray(vis_sum),
+                    found_inc=jnp.asarray(found_sum)))
                 counters_dirty = False
 
         def _frame_data(b, fid, ts):
@@ -559,9 +578,10 @@ class SLAMSystem:
         pt_opt = m.pt_valid
         m, outlier, (okf, ofeat) = bundle_adjust(
             m, self.K_dev, cam_opt, pt_opt, iters1=10, iters2=10,
-            mesh=cfg.mesh)
+            mesh=cfg.mesh, scale_factor=cfg.map.scale_factor)
         m = apply_edge_outliers(m, outlier, okf, ofeat, kill_starved=False)
-        m = refresh_point_stats(m)
+        m = refresh_point_stats(m, scale_factor=cfg.map.scale_factor,
+                                n_levels=cfg.map.n_levels)
         self.map = m
 
         self.last_pose = np.asarray(m.kf_pose[k2])
@@ -625,6 +645,7 @@ class SLAMSystem:
             p_local=cfg.p_local,
             width=self.cfg.camera.width, height=self.cfg.camera.height,
             radius=cfg.track_radius,
+            scale_factor=cfg.map.scale_factor, n_levels=cfg.map.n_levels,
         )
         n_in = int(res.n_inliers)
         if n_in < cfg.min_track_inliers:
@@ -636,6 +657,7 @@ class SLAMSystem:
                 p_local=cfg.p_local,
                 width=self.cfg.camera.width, height=self.cfg.camera.height,
                 radius=cfg.track_radius * 2.0,
+                scale_factor=cfg.map.scale_factor, n_levels=cfg.map.n_levels,
             )
             n_in = int(res.n_inliers)
 
@@ -785,7 +807,8 @@ class SLAMSystem:
             pid_s = jnp.clip(pids, 0, P - 1)
             ok = ok & m.pt_valid[pid_s]
             pw = m.pt_pos[pid_s]
-            inv_s2 = 1.0 / (1.2 ** (2.0 * frame.octave.astype(jnp.float32)))
+            inv_s2 = 1.0 / (cfg.map.scale_factor
+                            ** (2.0 * frame.octave.astype(jnp.float32)))
             self._rng, key = jax.random.split(self._rng)
             R, t, inl, n_in = epnp_ransac(
                 pw, frame.xy, ok, inv_s2, self.K_dev, key)
@@ -806,14 +829,17 @@ class SLAMSystem:
                 m, frame.xy, frame.desc, frame.octave, frame.valid,
                 T_opt, self.K_dev, p_local=cfg.p_local,
                 width=cfg.camera.width, height=cfg.camera.height,
-                radius=10.0, max_dist=100)
+                radius=10.0, max_dist=100,
+                scale_factor=cfg.map.scale_factor, n_levels=cfg.map.n_levels)
             n_good = int(res.n_inliers)
             if 30 <= n_good < cfg.min_reloc_inliers:
                 res2 = track_frame(
                     m, frame.xy, frame.desc, frame.octave, frame.valid,
                     res.pose, self.K_dev, p_local=cfg.p_local,
                     width=cfg.camera.width, height=cfg.camera.height,
-                    radius=3.0, max_dist=64)
+                    radius=3.0, max_dist=64,
+                    scale_factor=cfg.map.scale_factor,
+                    n_levels=cfg.map.n_levels)
                 if int(res2.n_inliers) > n_good:
                     res, n_good = res2, int(res2.n_inliers)
             if n_good >= cfg.min_reloc_inliers:
@@ -886,7 +912,9 @@ class SLAMSystem:
         for nb in tri_neighbors:
             if not self.free_pt or aborted():
                 break
-            cand = triangulate_new_points(m, new_kf, nb, self.K_dev)
+            cand = triangulate_new_points(
+                m, new_kf, nb, self.K_dev,
+                scale_factor=cfg.map.scale_factor)
             n_free = min(len(self.free_pt), 512)
             free = np.full(512, -1, np.int32)
             free[:n_free] = self.free_pt[:n_free]
@@ -930,10 +958,14 @@ class SLAMSystem:
         for nb in fuse_targets:
             m, b1, g1, remap1 = fuse_into_keyframe(
                 m, new_kf, nb, self.K_dev,
-                width=cfg.camera.width, height=cfg.camera.height)
+                width=cfg.camera.width, height=cfg.camera.height,
+                scale_factor=cfg.map.scale_factor,
+                n_levels=cfg.map.n_levels)
             m, b2, g2, remap2 = fuse_into_keyframe(
                 m, nb, new_kf, self.K_dev,
-                width=cfg.camera.width, height=cfg.camera.height)
+                width=cfg.camera.width, height=cfg.camera.height,
+                scale_factor=cfg.map.scale_factor,
+                n_levels=cfg.map.n_levels)
             self._compose_forward(remap1)
             self._compose_forward(remap2)
             if DEBUG:
@@ -941,7 +973,8 @@ class SLAMSystem:
                     f"merged {int(g1)}+{int(g2)}")
         self._reclaim_points(m)
 
-        m = refresh_point_stats(m)
+        m = refresh_point_stats(m, scale_factor=cfg.map.scale_factor,
+                                n_levels=cfg.map.n_levels)
 
         # --- Local BA (Optimizer.cc:287-536) ---
         ba_window = cfg.local_ba_window or len(neighbors)
@@ -966,7 +999,8 @@ class SLAMSystem:
         ba_kl = cfg.max_ba_cams or None
         m, outlier, (okf, ofeat) = bundle_adjust(
             m, self.K_dev, cam_opt, pt_opt, iters1=5, iters2=0,
-            mesh=cfg.mesh, max_opt_cams=ba_kl)
+            mesh=cfg.mesh, max_opt_cams=ba_kl,
+            scale_factor=cfg.map.scale_factor)
         if DEBUG:
             dbg(f"kf{new_kf}: BA1 outlier-edges {int(jnp.sum(outlier))} "
                 f"valid {int(jnp.sum(m.pt_valid))}")
@@ -976,7 +1010,8 @@ class SLAMSystem:
         if not aborted():
             m, outlier, (okf, ofeat) = bundle_adjust(
                 m, self.K_dev, cam_opt, pt_opt, iters1=0, iters2=10,
-                mesh=cfg.mesh, max_opt_cams=ba_kl)
+                mesh=cfg.mesh, max_opt_cams=ba_kl,
+                scale_factor=cfg.map.scale_factor)
             if DEBUG:
                 dbg(f"kf{new_kf}: BA2 outlier-edges {int(jnp.sum(outlier))}")
             m = apply_edge_outliers(m, outlier, okf, ofeat)
@@ -999,7 +1034,8 @@ class SLAMSystem:
                 if self.db is not None:
                     self.db.erase(nb)
 
-        self.map = refresh_point_stats(m)
+        self.map = refresh_point_stats(m, scale_factor=cfg.map.scale_factor,
+                                       n_levels=cfg.map.n_levels)
         self._publish_mapped_pose(new_kf)
 
     def _publish_mapped_pose(self, new_kf: int):

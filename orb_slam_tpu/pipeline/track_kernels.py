@@ -45,9 +45,14 @@ def project_points(pt_pos, T_cw, K_mat):
 
 
 def frustum_gate(state: MapState, T_cw, K_mat, width, height,
-                 view_cos_limit=0.5):
+                 view_cos_limit=0.5, scale_factor: float = 1.2,
+                 n_levels: int = 8):
     """Frame::isInFrustum for every map point at once (src/Frame.cc:137-198).
-    Returns (visible [P], proj [P,2], pred_level [P], dist [P])."""
+    Returns (visible [P], proj [P,2], pred_level [P], dist [P]).
+
+    scale_factor / n_levels come from the extractor settings (the reference
+    derives mfLogScaleFactor and the octave clamp from them, Frame.cc:95-107,
+    181-190)."""
     proj, z = project_points(state.pt_pos, T_cw, K_mat)
     in_img = (
         (z > 0.0)
@@ -66,8 +71,10 @@ def frustum_gate(state: MapState, T_cw, K_mat, width, height,
     visible = state.pt_valid & in_img & dist_ok & angle_ok
     # predicted octave (Frame.cc:181-190): ratio = max_dist / dist
     ratio = jnp.maximum(state.pt_max_dist, 1e-9) / jnp.maximum(dist, 1e-9)
-    pred = jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / jnp.log(1.2)).astype(jnp.int32)
-    pred = jnp.clip(pred, 0, 7)
+    pred = jnp.ceil(
+        jnp.log(jnp.maximum(ratio, 1e-9)) / jnp.log(scale_factor)
+    ).astype(jnp.int32)
+    pred = jnp.clip(pred, 0, n_levels - 1)
     return visible, proj, pred, dist
 
 
@@ -84,6 +91,7 @@ def _track_body(
     width: int = 640,
     height: int = 480,
     radius: float = 15.0,
+    scale_factor: float = 1.2,
     n_levels: int = 8,
     max_dist: int = TH_HIGH,
 ) -> TrackResult:
@@ -93,7 +101,8 @@ def _track_body(
     N = feat_xy.shape[0]
 
     visible, proj, pred_level, dist = frustum_gate(
-        state, T_pred, K_mat, width, height
+        state, T_pred, K_mat, width, height,
+        scale_factor=scale_factor, n_levels=n_levels,
     )
 
     # --- select up to p_local visible candidates (stable order by id) ---
@@ -114,7 +123,7 @@ def _track_body(
     # --- geometric gate: radius scaled by predicted level (the reference
     # scales the window by the scale factor of the predicted octave,
     # ORBmatcher.cc:85-90), octave within [pred-1, pred+1] ---
-    sf = 1.2 ** cand_level.astype(jnp.float32)
+    sf = scale_factor ** cand_level.astype(jnp.float32)
     r = radius * sf  # [p_local]
     d = cand_proj[:, None, :] - feat_xy[None, :, :]
     gate = jnp.sum(d * d, axis=-1) <= (r * r)[:, None]
@@ -136,7 +145,7 @@ def _track_body(
     # --- pose optimization over matches ---
     muv = feat_xy[best_idx]
     moct = feat_octave[best_idx]
-    inv_sigma2 = 1.0 / (1.2 ** (2.0 * moct.astype(jnp.float32)))
+    inv_sigma2 = 1.0 / (scale_factor ** (2.0 * moct.astype(jnp.float32)))
     # short GN schedule: each iteration is a sequentially-dependent small
     # solve (latency-bound on TPU); with a motion-model init 4+3+2+2 rounds
     # converge as well as the reference's 10+10+7+5 LM budget
@@ -170,8 +179,8 @@ def _track_body(
 
 track_frame = partial(
     fused_jit,
-    static_argnames=("p_local", "width", "height", "radius", "n_levels",
-                     "max_dist"),
+    static_argnames=("p_local", "width", "height", "radius", "scale_factor",
+                     "n_levels", "max_dist"),
 )(_track_body)
 
 
@@ -199,6 +208,8 @@ def _track_chunk_body(
     width: int = 640,
     height: int = 480,
     radius: float = 15.0,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
     max_dist: int = TH_HIGH,
     min_inliers: int = 30,
     use_motion_model: bool = True,
@@ -225,6 +236,7 @@ def _track_chunk_body(
         return chunk_track_step(
             state, xy, desc, octv, val, carry, K_mat,
             p_local=p_local, width=width, height=height, radius=radius,
+            scale_factor=scale_factor, n_levels=n_levels,
             max_dist=max_dist, min_inliers=min_inliers,
             use_motion_model=use_motion_model)
 
@@ -236,7 +248,8 @@ def _track_chunk_body(
 
 def chunk_track_step(state, xy, desc, octv, val, carry, K_mat, *,
                      p_local, width, height, radius, max_dist,
-                     min_inliers, use_motion_model, retry=True):
+                     min_inliers, use_motion_model, retry=True,
+                     scale_factor=1.2, n_levels=8):
     """One frame of the chunk recurrence (shared by _track_chunk_body and
     the fused extract+track scan): motion-model prediction, optionally the
     wide-window no-motion-model retry on low inliers (Tracking.cc:486-552)
@@ -252,7 +265,8 @@ def chunk_track_step(state, xy, desc, octv, val, carry, K_mat, *,
     res = _track_body(
         state, xy, desc, octv, val, T_pred, K_mat,
         p_local=p_local, width=width, height=height,
-        radius=radius, max_dist=max_dist,
+        radius=radius, scale_factor=scale_factor, n_levels=n_levels,
+        max_dist=max_dist,
     )
 
     if retry:
@@ -260,7 +274,8 @@ def chunk_track_step(state, xy, desc, octv, val, carry, K_mat, *,
             return _track_body(
                 state, xy, desc, octv, val, pose, K_mat,
                 p_local=p_local, width=width, height=height,
-                radius=radius * 2.0, max_dist=max_dist,
+                radius=radius * 2.0, scale_factor=scale_factor,
+                n_levels=n_levels, max_dist=max_dist,
             )
 
         res = jax.lax.cond(
@@ -275,6 +290,7 @@ def chunk_track_step(state, xy, desc, octv, val, carry, K_mat, *,
 
 track_chunk = partial(
     fused_jit,
-    static_argnames=("p_local", "width", "height", "radius", "max_dist",
-                     "min_inliers", "use_motion_model"),
+    static_argnames=("p_local", "width", "height", "radius", "scale_factor",
+                     "n_levels", "max_dist", "min_inliers",
+                     "use_motion_model"),
 )(_track_chunk_body)

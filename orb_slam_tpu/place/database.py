@@ -78,6 +78,19 @@ class KeyFrameDatabase:
         return ids, w, nodes
 
     @_locked
+    def min_covisible_score(self, ids, w, covisible_slots, default=0.05):
+        """Min L1 score of the query vs its active covisible keyframes —
+        the loop-detection score floor (LoopClosing::DetectLoop,
+        LoopClosing.cc:114-131). Runs under the database lock so a
+        concurrent add/erase from the mapper thread cannot tear an
+        (ids, w) pair mid-read."""
+        scores = [
+            float(l1_score(ids, w, self.bow_ids[c], self.bow_w[c]))
+            for c in covisible_slots if self.active[c]
+        ]
+        return min(scores) if scores else default
+
+    @_locked
     def scores_against_all(self, ids, w):
         """[K] L1 scores of query BoW vs every stored keyframe."""
         s = np.array(self._score_all(ids, w, self.bow_ids, self.bow_w))

@@ -83,14 +83,17 @@ def observation_table(state: MapState, cap: int = 0):
     return obs_kf, obs_feat, obs_valid
 
 
-@fused_jit
-def refresh_point_stats(state: MapState) -> MapState:
+@partial(fused_jit, static_argnames=("scale_factor", "n_levels"))
+def refresh_point_stats(state: MapState, scale_factor: float = 1.2,
+                        n_levels: int = 8) -> MapState:
     """Recompute distinctive descriptors, normals, scale bands and reference
     keyframes for ALL valid points in one batched pass.
 
     Replaces MapPoint::ComputeDistinctiveDescriptors (min-median-Hamming,
     MapPoint.cc:185-250) and MapPoint::UpdateNormalAndDepth
-    (MapPoint.cc:273-312)."""
+    (MapPoint.cc:273-312). scale_factor / n_levels size the scale-invariance
+    band exactly as the reference derives it from the extractor settings
+    (MapPoint.cc:300-302)."""
     P = state.pt_valid.shape[0]
     K = state.kf_valid.shape[0]
     O = OBS_CAP
@@ -147,8 +150,7 @@ def refresh_point_stats(state: MapState) -> MapState:
     ref_slot = jnp.argmax(is_ref, axis=-1)
     ref_feat = jnp.take_along_axis(feat_safe, ref_slot[:, None], 1)[:, 0]
     octv = state.kf_octave[ref_safe, ref_feat]
-    sf = jnp.float32(1.2)
-    n_levels = 8
+    sf = jnp.float32(scale_factor)
     level_factor = sf ** octv.astype(jnp.float32)
     new_max = dist * level_factor
     new_min = new_max / (sf ** (n_levels - 1))

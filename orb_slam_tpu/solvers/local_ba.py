@@ -312,24 +312,27 @@ def _ba_core(kf_pose, pt_pos, obs_kf, uv, inv_sigma2, edge_on,
     return kf_pose, pt_pos, edge_in
 
 
-def _ba_inputs(state: MapState, pt_opt):
-    """Observation table + per-edge uv / information / initial mask."""
+def _ba_inputs(state: MapState, pt_opt, scale_factor: float = 1.2):
+    """Observation table + per-edge uv / information / initial mask.
+    scale_factor sets the per-octave information weights (the reference
+    reads mvInvLevelSigma2 from the extractor settings, Optimizer.cc:120)."""
     obs_kf, obs_feat, obs_valid = observation_table(state)
     Kk, N = state.kf_xy.shape[0], state.kf_xy.shape[1]
     kf_safe = jnp.clip(obs_kf, 0, Kk - 1)
     feat_safe = jnp.clip(obs_feat, 0, N - 1)
     uv = state.kf_xy[kf_safe, feat_safe]
     octv = state.kf_octave[kf_safe, feat_safe]
-    inv_sigma2 = 1.0 / (1.2 ** (2.0 * octv.astype(jnp.float32)))
+    inv_sigma2 = 1.0 / (scale_factor ** (2.0 * octv.astype(jnp.float32)))
     edge_on = obs_valid & pt_opt[:, None]
     return obs_kf, obs_feat, obs_valid, uv, inv_sigma2, edge_on
 
 
-@partial(fused_jit, static_argnames=("iters1", "iters2", "Kl"))
+@partial(fused_jit, static_argnames=("iters1", "iters2", "Kl",
+                                     "scale_factor"))
 def _bundle_adjust_single(state, K_mat, cam_opt, pt_opt, iters1, iters2,
-                          damping, Kl=None):
+                          damping, Kl=None, scale_factor=1.2):
     obs_kf, obs_feat, obs_valid, uv, inv_sigma2, edge_on = _ba_inputs(
-        state, pt_opt)
+        state, pt_opt, scale_factor)
     kf_pose, pt_pos, edge_in = _ba_core(
         state.kf_pose, state.pt_pos, obs_kf, uv, inv_sigma2, edge_on,
         cam_opt, pt_opt, K_mat, iters1=iters1, iters2=iters2,
@@ -342,11 +345,12 @@ def _bundle_adjust_single(state, K_mat, cam_opt, pt_opt, iters1, iters2,
 _SHARDED_BA_CACHE = {}
 
 
-def _bundle_adjust_sharded(mesh, iters1, iters2, Kl=None):
+def _bundle_adjust_sharded(mesh, iters1, iters2, Kl=None,
+                           scale_factor=1.2):
     """Jitted sharded BA: points/edges sharded over the mesh's 'data' axis
     (each shard owns a block of the observation table), cameras replicated,
     one psum per solver iteration reduces the camera system over ICI."""
-    key = (mesh, iters1, iters2, Kl)
+    key = (mesh, iters1, iters2, Kl, scale_factor)
     if key in _SHARDED_BA_CACHE:
         return _SHARDED_BA_CACHE[key]
     try:
@@ -375,7 +379,7 @@ def _bundle_adjust_sharded(mesh, iters1, iters2, Kl=None):
     @partial(fused_jit)
     def run(state, K_mat, cam_opt, pt_opt, damping):
         obs_kf, obs_feat, obs_valid, uv, inv_sigma2, edge_on = _ba_inputs(
-            state, pt_opt)
+            state, pt_opt, scale_factor)
         kf_pose, pt_pos, edge_in = sharded(
             state.kf_pose, state.pt_pos, obs_kf, uv, inv_sigma2, edge_on,
             cam_opt, pt_opt, K_mat, jnp.float32(damping))
@@ -397,6 +401,7 @@ def bundle_adjust(
     damping: float = 1e-3,
     mesh=None,
     max_opt_cams: int | None = None,
+    scale_factor: float = 1.2,
 ):
     """Run (local or global) BA over the MapState.
 
@@ -416,14 +421,16 @@ def bundle_adjust(
     if mesh is None:
         return _bundle_adjust_single(state, K_mat, cam_opt, pt_opt,
                                      iters1, iters2, damping,
-                                     Kl=max_opt_cams)
+                                     Kl=max_opt_cams,
+                                     scale_factor=scale_factor)
     n_data = mesh.shape["data"]
     P = state.pt_valid.shape[0]
     if P % n_data:
         raise ValueError(
             f"bundle_adjust: max_points={P} must divide the mesh 'data' "
             f"axis ({n_data})")
-    return _bundle_adjust_sharded(mesh, iters1, iters2, Kl=max_opt_cams)(
+    return _bundle_adjust_sharded(mesh, iters1, iters2, Kl=max_opt_cams,
+                                  scale_factor=scale_factor)(
         state, K_mat, cam_opt, pt_opt, damping)
 
 
