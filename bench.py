@@ -85,7 +85,9 @@ def main():
         extraction + a tracking scan: a vmapped batch streams [B, L, H, W]
         through HBM at every elementwise op (bandwidth-bound, measured 5.9
         ms/frame marginal); the fused scan keeps each frame's pyramid and
-        features hot on-chip."""
+        features hot on-chip. (A software-pipelined extract(i)/track(i-1)
+        variant measured neutral-to-worse — XLA:TPU runs the loop body
+        serially, so there is no overlap to win.)"""
         from orb_slam_tpu.pipeline.track_kernels import chunk_track_step
         extract = partial(_extract_stacked, config=extractor.config,
                           use_pallas=extractor.use_pallas)

@@ -133,7 +133,7 @@ def cmd_run(args):
 
 def cmd_eval(args):
     import numpy as np
-    from orb_slam_tpu.io.trajectory import read_tum, ate_rmse
+    from orb_slam_tpu.io.trajectory import read_tum, ate_rmse, rpe
 
     ts_e, p_e, _ = read_tum(args.estimate)
     ts_g, p_g, _ = read_tum(args.groundtruth)
@@ -141,8 +141,11 @@ def cmd_eval(args):
     idx = np.searchsorted(ts_g, ts_e)
     idx = np.clip(idx, 0, len(ts_g) - 1)
     keep = np.abs(ts_g[idx] - ts_e) < args.max_dt
-    rmse, _ = ate_rmse(p_e[keep], p_g[idx][keep])
-    print(json.dumps({"ate_rmse": rmse, "n_associated": int(keep.sum())}))
+    rmse, aligned = ate_rmse(p_e[keep], p_g[idx][keep])
+    # RPE on the Sim3-aligned estimate (monocular scale is unobservable)
+    r1 = rpe(aligned, p_g[idx][keep], delta=1)
+    print(json.dumps({"ate_rmse": rmse, "rpe_1": r1,
+                      "n_associated": int(keep.sum())}))
 
 
 def main(argv=None):

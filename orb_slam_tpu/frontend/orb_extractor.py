@@ -49,6 +49,12 @@ class ORBConfig:
     # OpenCV-style continuous rotation (per-keypoint gathers; the exact
     # per-level path always uses this).
     desc_lut_bins: int = 30
+    # keypoint patch extraction strategy for orientation/descriptor
+    # sampling: "onehot" = row+column one-hot matmuls (MXU, O(Q*size*H*W)),
+    # "rowgather" = dynamic row gather + column one-hot (data movement,
+    # O(Q*size*W) + O(Q*size^2*W) MXU). A/B'd on device; see
+    # scripts/bench_extract_variants.py and PERF.md.
+    patch_method: str = "onehot"
 
     def level_quotas(self):
         """Geometric per-level feature quotas (reference:
@@ -211,7 +217,8 @@ def _extract_stacked(img, pyr_consts=None, *, config: ORBConfig,
         ic_angles_batch, rbrief_batch, rbrief_batch_lut,
     )
 
-    angle_l = ic_angles_batch(stack, xy_l, shapes_t)       # [L, Qmax]
+    angle_l = ic_angles_batch(stack, xy_l, shapes_t,
+                              method=config.patch_method)  # [L, Qmax]
     lut = pyr_consts[2] if (pyr_consts is not None
                             and len(pyr_consts) > 2) else None
     if config.desc_lut_bins and lut is None:
@@ -220,7 +227,8 @@ def _extract_stacked(img, pyr_consts=None, *, config: ORBConfig,
                           jnp.bfloat16)
     if config.desc_lut_bins:
         desc_l = rbrief_batch_lut(blurred, xy_l, angle_l, shapes_t, lut,
-                                  config.desc_lut_bins)  # [L, Qmax, 32]
+                                  config.desc_lut_bins,
+                                  method=config.patch_method)  # [L,Qmax,32]
     else:
         desc_l = rbrief_batch(blurred, xy_l, angle_l, shapes_t)
 

@@ -34,6 +34,13 @@ class SyntheticScene:
     ring: bool = False  # points on a cylindrical ring around the origin
                         # (gives view separation for loop-closing tests)
 
+    # radial-tangential lens distortion (k1, k2, p1, p2) applied when
+    # RENDERING (projection through the distorted model, the same
+    # convention as geometry/camera.py::distort / the reference's
+    # Data/Settings.yaml camera block) — the pipeline must undistort
+    # (Frame::UndistortKeyPoints, src/Frame.cc:289-319) to track correctly
+    dist: tuple = (0.0, 0.0, 0.0, 0.0)
+
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)
         if self.ring:
@@ -69,6 +76,30 @@ class SyntheticScene:
             np.float32,
         )
 
+    def camera_model(self):
+        """The matching pipeline CameraModel (incl. distortion)."""
+        from orb_slam_tpu.geometry import CameraModel
+        k1, k2, p1, p2 = self.dist
+        return CameraModel.create(self.fx, self.fy, self.cx, self.cy,
+                                  k1=k1, k2=k2, p1=p1, p2=p2,
+                                  width=self.width, height=self.height)
+
+    def _project_px(self, pc):
+        """Camera-frame points [N,3] -> DISTORTED pixel coords [N,2]
+        (numpy mirror of geometry/camera.py::project(with_distortion));
+        zero coefficients reduce to the pinhole projection."""
+        z = np.maximum(pc[:, 2], 1e-6)
+        x = pc[:, 0] / z
+        y = pc[:, 1] / z
+        k1, k2, p1, p2 = self.dist
+        if any(c != 0.0 for c in self.dist):
+            r2 = x * x + y * y
+            radial = 1.0 + k1 * r2 + k2 * r2 * r2
+            xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+            yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+            x, y = xd, yd
+        return np.stack([self.fx * x + self.cx, self.fy * y + self.cy], 1)
+
     def observe(self, T_cw, n_slots=256, pix_noise=0.3, desc_bit_noise=6,
                 drop_frac=0.05):
         """Render oracle features for camera pose T_cw [4,4] (numpy).
@@ -79,12 +110,7 @@ class SyntheticScene:
         R, t = T_cw[:3, :3], T_cw[:3, 3]
         pc = self.points @ R.T + t
         z = pc[:, 2]
-        uv = np.where(
-            (z > 0.1)[:, None],
-            (pc[:, :2] / np.maximum(z[:, None], 1e-6))
-            * [self.fx, self.fy] + [self.cx, self.cy],
-            -1000.0,
-        )
+        uv = np.where((z > 0.1)[:, None], self._project_px(pc), -1000.0)
         vis = (
             (z > 0.5)
             & (uv[:, 0] >= 8) & (uv[:, 0] < self.width - 8)
@@ -122,24 +148,36 @@ class SyntheticScene:
         out["ids"][:n] = ids
         return out
 
-    def render_image(self, T_cw, patch=5):
+    def render_image(self, T_cw, patch=5, exposure=1.0, bias=0.0,
+                     vignette=0.0, noise=0.0, quantize=False,
+                     photo_seed=None):
         """Rasterize textured square billboards onto a textured background.
 
         Each billboard carries a UNIQUE deterministic texture (seeded by its
         point id) so rBRIEF descriptors are distinctive across the scene —
         flat uniform squares all look alike and the matcher's ratio test
-        correctly rejects them as ambiguous."""
+        correctly rejects them as ambiguous.
+
+        Billboards are placed through the DISTORTED projection (self.dist),
+        so a pipeline consuming these frames must undistort keypoints like
+        the reference does for a real camera (src/Frame.cc:289-319).
+
+        Photometric nuisance (all off by default, exercised by the
+        hardened-eval tests): `exposure`/`bias` = per-frame gain/offset,
+        `vignette` = relative corner darkening (cos^4-style radial
+        falloff), `noise` = additive Gaussian sigma in intensity levels,
+        `quantize` = uint8 rounding (what a real sensor delivers)."""
         rng_local = np.random.default_rng(123)
         img = rng_local.uniform(30, 60, (self.height, self.width)).astype(np.float32)
         R, t = T_cw[:3, :3], T_cw[:3, 3]
         pc = self.points @ R.T + t
         z = pc[:, 2]
+        uv_all = self._project_px(pc)
         order = np.argsort(-z)  # far first (painter's algorithm)
         for i in order:
             if z[i] < 0.5:
                 continue
-            u = self.fx * pc[i, 0] / z[i] + self.cx
-            v = self.fy * pc[i, 1] / z[i] + self.cy
+            u, v = uv_all[i]
             s = max(3, int(round(patch * 6.0 / z[i])))
             x0, y0 = int(round(u)) - s, int(round(v)) - s
             x1, y1 = x0 + 2 * s, y0 + 2 * s
@@ -166,6 +204,26 @@ class SyntheticScene:
         img = k[0] * p[:-2] + k[1] * p[1:-1] + k[2] * p[2:]
         p = np.pad(img, ((0, 0), (1, 1)), mode="edge")
         img = k[0] * p[:, :-2] + k[1] * p[:, 1:-1] + k[2] * p[:, 2:]
+
+        # photometric nuisance chain (sensor order: optics -> gain -> noise
+        # -> quantization)
+        if vignette:
+            yy = (np.arange(self.height, dtype=np.float32)
+                  - self.cy)[:, None] / self.fy
+            xx = (np.arange(self.width, dtype=np.float32)
+                  - self.cx)[None, :] / self.fx
+            r2 = xx * xx + yy * yy
+            r2 = r2 / max(float(r2.max()), 1e-9)
+            img = img * (1.0 - vignette * r2)
+        if exposure != 1.0 or bias != 0.0:
+            img = img * exposure + bias
+        if noise:
+            nrng = np.random.default_rng(
+                photo_seed if photo_seed is not None else 7)
+            img = img + nrng.normal(0.0, noise, img.shape)
+        img = np.clip(img, 0.0, 255.0)
+        if quantize:
+            img = np.round(img)
         return img.astype(np.float32)
 
 

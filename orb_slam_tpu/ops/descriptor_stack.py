@@ -101,13 +101,99 @@ def extract_patches_batch(stack, xy_l, shapes, size: int):
     return patches
 
 
-def ic_angles_batch(stack, xy_l, shapes):
+def extract_patches_batch_rowgather(stack, xy_l, shapes, size: int):
+    """extract_patches_batch via a ROW GATHER + column one-hot matmul.
+
+    The row one-hot einsum ('lqrh,lhw->lqrw') performs O(Q*size*H*W)
+    multiply-adds (~42 GFLOP at 1000 feats/39 px) to express what is just
+    a row lookup; here rows come from ONE dynamic-gather on the [L*H, W]
+    flat canvas (pure data movement, Q*size*W traffic) and only the
+    column selection stays a matmul (O(Q*size^2*W) ~ 3 GFLOP)."""
+    Lv, H, W = stack.shape
+    half = size // 2
+    offs = jnp.arange(size, dtype=jnp.int32) - half
+    hs = jnp.asarray([h for h, w in shapes], jnp.int32)[:, None, None]
+    ws = jnp.asarray([w for h, w in shapes], jnp.int32)[:, None, None]
+    rows = jnp.clip(xy_l[:, :, 1:2] + offs[None, None, :], 0, hs - 1)
+    cols = jnp.clip(xy_l[:, :, 0:1] + offs[None, None, :], 0, ws - 1)
+    lvl = jnp.arange(Lv, dtype=jnp.int32)[:, None, None]
+    flat = stack.reshape(Lv * H, W)
+    strips = flat[(lvl * H + rows)]                        # [L,Q,size,W]
+    col_oh = jax.nn.one_hot(cols, W, dtype=jnp.bfloat16)   # [L,Q,size,W]
+    patches = jnp.einsum(
+        "lqrw,lqcw->lqrc", strips.astype(jnp.bfloat16), col_oh,
+        preferred_element_type=jnp.float32,
+    )
+    return patches
+
+
+def ic_angles_batch(stack, xy_l, shapes, method: str = "onehot"):
     """[L, Q] orientations for all levels at once."""
     from orb_slam_tpu.ops.orb_descriptor import _WX, _WY
 
-    patches = extract_patches_batch(stack, xy_l, shapes, PATCH)
+    fn = (extract_patches_batch_rowgather if method == "rowgather"
+          else extract_patches_batch)
+    patches = fn(stack, xy_l, shapes, PATCH)
     m10 = jnp.einsum("lqij,ij->lq", patches, jnp.asarray(_WX))
     m01 = jnp.einsum("lqij,ij->lq", patches, jnp.asarray(_WY))
+    return jnp.arctan2(m01, m10)
+
+
+def extract_patches_batch2(raw_stack, blurred_stack, xy_l, shapes,
+                           size: int):
+    """Fused two-channel patch extraction: ONE pair of gather-as-matmul
+    einsums pulls size x size patches around every keypoint from BOTH the
+    raw canvas (IC-angle moments) and the blurred canvas (rBRIEF sampling)
+    — the row/column one-hot selectors are built once and the strips for
+    the two channels ride the same MXU pass.
+
+    MEASURED SLOWER than the two separate extractions on v5e (+0.26
+    ms/frame chunk-slope, PERF.md round 3): the fused path moves 2 x 39^2
+    elements per keypoint where the split path moves 31^2 (angles) + 39^2
+    (descriptor) — fewer einsum launches don't pay for 22% more patch
+    traffic. Kept as the measured record; not used by _extract_stacked.
+
+    Returns [2, L, Q, size, size]: channel 0 = raw, 1 = blurred. Strips
+    and products accumulate in bfloat16: every output element is a
+    ONE-HOT row/column selection (no summation), so integer-valued
+    canvases (the blurred stack is rounded; raw level 0 is the original
+    image) pass through exactly; upper-level raw bilinear values round to
+    bf16 (<=0.5 intensity), inside the noise the 12-degree orientation
+    quantization of the LUT descriptor path already accepts."""
+    Lv, H, W = raw_stack.shape
+    Q = xy_l.shape[1]
+    half = size // 2
+    offs = jnp.arange(size, dtype=jnp.int32) - half
+    hs = jnp.asarray([h for h, w in shapes], jnp.int32)[:, None, None]
+    ws = jnp.asarray([w for h, w in shapes], jnp.int32)[:, None, None]
+    rows = jnp.clip(xy_l[:, :, 1:2] + offs[None, None, :], 0, hs - 1)
+    cols = jnp.clip(xy_l[:, :, 0:1] + offs[None, None, :], 0, ws - 1)
+    row_oh = jax.nn.one_hot(rows, H, dtype=jnp.bfloat16)   # [L,Q,size,H]
+    col_oh = jax.nn.one_hot(cols, W, dtype=jnp.bfloat16)   # [L,Q,size,W]
+    both = jnp.stack([raw_stack, blurred_stack]).astype(jnp.bfloat16)
+    strips = jnp.einsum(
+        "lqrh,clhw->clqrw", row_oh, both,
+        preferred_element_type=jnp.bfloat16,
+    )
+    patches = jnp.einsum(
+        "clqrw,lqkw->clqrk", strips, col_oh,
+        preferred_element_type=jnp.bfloat16,
+    )
+    return patches
+
+
+def ic_angles_from_patches(patches_raw, size: int):
+    """IC-angle moments from pre-extracted raw patches ([L, Q, size, size],
+    size >= PATCH): the 31x31 moment window is the center crop, so the
+    fused 39x39 extraction serves both orientation and descriptor
+    sampling (reference computes them from the same pyramid level,
+    src/ORBextractor.cc:467-474)."""
+    from orb_slam_tpu.ops.orb_descriptor import _WX, _WY
+
+    m = (size - PATCH) // 2
+    center = patches_raw[:, :, m:m + PATCH, m:m + PATCH].astype(jnp.float32)
+    m10 = jnp.einsum("lqij,ij->lq", center, jnp.asarray(_WX))
+    m01 = jnp.einsum("lqij,ij->lq", center, jnp.asarray(_WY))
     return jnp.arctan2(m01, m10)
 
 
@@ -181,8 +267,28 @@ def quantize_angle(angles, n_bins: int = 30):
     return jnp.mod(jnp.round(angles / step).astype(jnp.int32), n_bins)
 
 
+def rbrief_lut_from_patches(patches, angles_l, table, n_bins: int = 30):
+    """LUT-matmul rBRIEF from pre-extracted blurred patches
+    ([L, Q, S, S], S = _RB_SIZE) — the tail of rbrief_batch_lut for
+    callers that share one patch extraction between orientation and
+    descriptor sampling (extract_patches_batch2)."""
+    Lv, Q = patches.shape[0], patches.shape[1]
+    flat = patches.reshape(Lv, Q, _RB_SIZE * _RB_SIZE)
+    y = jnp.einsum(
+        "lqs,st->lqt", flat.astype(jnp.bfloat16), table.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).reshape(Lv, Q, n_bins, 256)
+    bin_oh = jax.nn.one_hot(
+        quantize_angle(angles_l, n_bins), n_bins, dtype=jnp.float32)
+    sel = jnp.einsum("lqab,lqa->lqb", y, bin_oh)
+    bits = (sel > 0.0).astype(jnp.uint8).reshape(Lv, Q, 32, 8)
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+    return jnp.sum(bits * weights[None, None, None, :], axis=-1,
+                   dtype=jnp.uint8)
+
+
 def rbrief_batch_lut(blurred_stack, xy_l, angles_l, shapes, table,
-                     n_bins: int = 30):
+                     n_bins: int = 30, method: str = "onehot"):
     """[L, Q, 32] u8 descriptors via the per-orientation-bin LUT matmul.
 
     Same bit layout as rbrief_batch; the only deviation is the paper's
@@ -191,7 +297,9 @@ def rbrief_batch_lut(blurred_stack, xy_l, angles_l, shapes, table,
     passed as a device argument (23 MB — a jit closure constant would be
     re-hashed per call on the target runtime)."""
     Lv, Q = xy_l.shape[0], xy_l.shape[1]
-    patches = extract_patches_batch(blurred_stack, xy_l, shapes, _RB_SIZE)
+    fn = (extract_patches_batch_rowgather if method == "rowgather"
+          else extract_patches_batch)
+    patches = fn(blurred_stack, xy_l, shapes, _RB_SIZE)
     flat = patches.reshape(Lv, Q, _RB_SIZE * _RB_SIZE)
     # patch values are integers <= 255 and table entries are {-1,0,+1}:
     # bf16 products are exact, f32 accumulation is exact

@@ -171,13 +171,16 @@ def detect_keypoints_stack_pallas(
     th_min: float = 7.0, cell_size: int = 32, border: int = 16,
     interpret: bool = False,
 ):
-    """Same as detect_keypoints_stack but with the score+NMS stage as ONE
-    fused Pallas kernel (ops/pallas_fast.py): packed block grid (only
-    blocks covering real level pixels run) + the circular min/max tree +
-    in-kernel NMS — measured 0.70 ms/frame vs 2.17 for the rectangular
-    kernel + XLA reduce_window (bench: scripts/bench_fast_kernel.py).
-    Regions outside the packed blocks are unwritten; select_from_scores'
-    in_border mask already excludes them."""
+    """Same as detect_keypoints_stack but with the detection front fused
+    into Pallas (ops/pallas_fast.py).
+
+    Uses the packed score kernel + the XLA select_from_scores tail. A
+    fully-fused variant that also extracts per-cell top-K candidates
+    in-kernel exists (_detect_cells_fused) and is output-identical, but
+    measured SLOWER on v5e (1.05 vs 0.62 ms/frame head-to-head: the
+    per-cell reductions run at 32-lane occupancy and the in-kernel
+    [32,256] transpose serializes — PERF.md round 3); it is kept for
+    narrow-VMEM targets and as the measured record."""
     from orb_slam_tpu.ops.pallas_fast import fast_score_nms_packed
 
     score, keep = fast_score_nms_packed(stack, shapes, BH=48, BW=256,
@@ -185,6 +188,56 @@ def detect_keypoints_stack_pallas(
     return select_from_scores(score, keep, shapes, quotas, th_ini=th_ini,
                               th_min=th_min, cell_size=cell_size,
                               border=border)
+
+
+@partial(jax.jit, static_argnames=("shapes", "quotas", "K", "th_ini",
+                                   "th_min", "border", "interpret"))
+def _detect_cells_fused(stack, shapes: tuple, quotas: tuple, K: int = 4,
+                        th_ini: float = 20.0, th_min: float = 7.0,
+                        border: int = 16, interpret: bool = False):
+    """Host tail of the cell-fused detector: per-cell two-tier threshold
+    (th_ini with th_min fallback, reference src/ORBextractor.cc:540-563)
+    on the kernel's per-cell candidates, then per-level quota top-k.
+    Output contract identical to detect_keypoints_stack."""
+    from orb_slam_tpu.ops.pallas_fast import (
+        fast_cell_topk_packed, cell_block_table,
+    )
+
+    Lv, H, W = stack.shape
+    BH, BW = 32, 256
+    vals, pos = fast_cell_topk_packed(stack, shapes, K=K, BH=BH, BW=BW,
+                                      border=border, interpret=interpret)
+    lvl, _, _ = cell_block_table(shapes, BH, BW, border)
+    n_cells_blk = BW // BH
+    counts = [lvl.count(l) for l in range(Lv)]
+    starts = np.cumsum([0] + counts)
+    maxB = max(counts)
+    row_len = maxB * n_cells_blk * K
+    q_max = max(quotas)
+
+    v_rows, p_rows = [], []
+    for l in range(Lv):
+        v_l = vals[int(starts[l]):int(starts[l + 1])]  # [B_l, nc, K]
+        p_l = pos[int(starts[l]):int(starts[l + 1])]
+        cmax = v_l[:, :, 0]  # per-cell max (candidates are sorted)
+        th = jnp.where(cmax > th_ini, th_ini, th_min)
+        v_l = jnp.where(v_l > th[:, :, None], v_l, 0.0)
+        v_flat = v_l.reshape(-1)
+        p_flat = p_l.reshape(-1)
+        padn = row_len - v_flat.shape[0]
+        v_rows.append(jnp.pad(v_flat, (0, padn)))
+        p_rows.append(jnp.pad(p_flat, (0, padn)))
+    Vm = jnp.stack(v_rows)                      # [L, row_len]
+    Pm = jnp.stack(p_rows)
+
+    top_score, sel = jax.lax.top_k(Vm, q_max)   # [L, q_max]
+    psel = jnp.take_along_axis(Pm, sel, 1)
+    xy = jnp.stack([psel % 65536, psel // 65536], -1).astype(jnp.int32)
+    quota_arr = jnp.asarray(quotas)[:, None]
+    valid = (top_score > 0.0) & (
+        jnp.arange(q_max)[None, :] < quota_arr
+    )
+    return xy, top_score, valid
 
 
 @partial(jax.jit, static_argnames=("shapes", "quotas", "th_ini", "th_min",

@@ -215,5 +215,164 @@ def fast_score_nms_packed(stack, shapes: tuple, BH: int = 48, BW: int = 256,
     return score[:, :H, :W], keep[:, :H, :W]
 
 
+def cell_block_table(shapes: tuple, BH: int, BW: int, border: int):
+    """Static (level, r0, c0) block enumeration for the cell-fused kernel:
+    only blocks intersecting a level's detectable interior
+    ([border, h-border) x [border, w-border)) are listed."""
+    lvl, r0s, c0s = [], [], []
+    for l, (h, w) in enumerate(shapes):
+        for r in range(0, h - border, BH):
+            if r + BH <= border:
+                continue
+            for c in range(0, w - border, BW):
+                lvl.append(l)
+                r0s.append(r)
+                c0s.append(c)
+    return lvl, r0s, c0s
+
+
+def _make_cell_topk_kernel(BH: int, BW: int, K: int, border: int):
+    """FAST score + fused 3x3 NMS + border mask + per-cell top-K for one
+    (level, row-strip) tile, BH = cell size (one cell row of BW//BH cells).
+
+    Emits per-cell candidate values and packed positions (y * 2^16 + x)
+    directly — the full score/keep canvases are never written to HBM, and
+    the host-side quota selection shrinks from ~30 full-image passes (the
+    k-round max/argmax/where extraction in select_from_scores) to a single
+    tiny top_k over these candidates. Replaces the quota stage of
+    reference src/ORBextractor.cc:476-487 (grid-cell threshold fallback +
+    retention by response)."""
+    Hh, Wh = BH + 2, BW + 2  # score extent incl. NMS halo
+    n_cells = BW // BH
+    SENTINEL = 2 ** 30  # python literal: a jnp constant would be captured
+
+    def kernel(lvl_ref, r0_ref, c0_ref, h_ref, w_ref, img_ref,
+               vals_ref, pos_ref):
+        b = pl.program_id(0)
+        r0 = pl.multiple_of(r0_ref[b], BH)
+        c0 = pl.multiple_of(c0_ref[b], BW)
+        h = h_ref[b]
+        w = w_ref[b]
+        win = img_ref[0, pl.ds(r0, BH + 8), pl.ds(c0, BW + 8)]
+        img = win[3:3 + Hh, 3:3 + Wh]
+
+        def neighbor(k):
+            dy, dx = int(FAST_CIRCLE[k][0]), int(FAST_CIRCLE[k][1])
+            return win[3 + dy: 3 + dy + Hh, 3 + dx: 3 + dx + Wh]
+
+        # circular sliding-window min/max tree (see _make_packed_kernel)
+        d = [neighbor(k) - img for k in range(16)]
+        mn = [jnp.minimum(d[s], d[(s + 1) % 16]) for s in range(16)]
+        mn = [jnp.minimum(mn[s], mn[(s + 2) % 16]) for s in range(16)]
+        mn = [jnp.minimum(mn[s], mn[(s + 4) % 16]) for s in range(16)]
+        mn = [jnp.minimum(mn[s], d[(s + 8) % 16]) for s in range(16)]
+        mx9 = [jnp.maximum(d[s], d[(s + 1) % 16]) for s in range(16)]
+        mx9 = [jnp.maximum(mx9[s], mx9[(s + 2) % 16]) for s in range(16)]
+        mx9 = [jnp.maximum(mx9[s], mx9[(s + 4) % 16]) for s in range(16)]
+        mx9 = [jnp.maximum(mx9[s], d[(s + 8) % 16]) for s in range(16)]
+        bright = mn[0]
+        dark_mx = mx9[0]
+        for s in range(1, 16):
+            bright = jnp.maximum(bright, mn[s])
+            dark_mx = jnp.minimum(dark_mx, mx9[s])
+        score = jnp.maximum(bright, -dark_mx)
+
+        mx = None
+        for dy in range(3):
+            for dx in range(3):
+                n = score[dy:dy + BH, dx:dx + BW]
+                mx = n if mx is None else jnp.maximum(mx, n)
+        center = score[1:1 + BH, 1:1 + BW]
+        keep = center >= mx
+
+        y_abs = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 0) + r0
+        x_abs = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 1) + c0
+        inb = ((y_abs >= border) & (y_abs < h - border)
+               & (x_abs >= border) & (x_abs < w - border))
+        s = jnp.where(keep & inb, center, 0.0)
+
+        # per-cell top-K: transpose so the BW axis (cells) becomes the
+        # leading/sublane axis, then split it into (n_cells, BH)
+        st3 = s.T.reshape(n_cells, BH, BH)          # [cell, x_in, y]
+        ci = jax.lax.broadcasted_iota(jnp.int32, (n_cells, BH, BH), 0)
+        xi = jax.lax.broadcasted_iota(jnp.int32, (n_cells, BH, BH), 1)
+        yi = jax.lax.broadcasted_iota(jnp.int32, (n_cells, BH, BH), 2)
+        enc = (yi + r0) * 65536 + (xi + ci * BH + c0)
+
+        vals, poss = [], []
+        work = st3
+        for _ in range(K):
+            m2 = jnp.max(work, axis=2)              # [cell, x_in]
+            mk = jnp.max(m2, axis=1)                # [cell]
+            eq = (work == mk[:, None, None]) & (work > 0.0)
+            ce = jnp.where(eq, enc, SENTINEL)
+            p2 = jnp.min(ce, axis=2)
+            pk = jnp.min(p2, axis=1)                # [cell]
+            work = jnp.where(enc == pk[:, None, None], 0.0, work)
+            vals.append(mk)
+            poss.append(pk)
+        out_v = jnp.stack(vals, axis=1)             # [n_cells, K]
+        out_p = jnp.stack(poss, axis=1)
+        vals_ref[0] = out_v
+        pos_ref[0] = out_p
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("shapes", "K", "BH", "BW", "border",
+                                   "interpret"))
+def fast_cell_topk_packed(stack, shapes: tuple, K: int = 4, BH: int = 32,
+                          BW: int = 256, border: int = 16,
+                          interpret: bool = False):
+    """stack: [L, H, W] f32 level canvas -> per-cell top-K FAST corners.
+
+    ONE kernel for score + NMS + border mask + per-cell candidate
+    extraction (cell = BH x BH, BW//BH cells per block). Returns
+    (vals [n_blocks, n_cells, K] f32, pos [n_blocks, n_cells, K] i32
+    packed y*65536+x, block level table [n_blocks] static list) — empty
+    cells hold value 0 / sentinel positions."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    L, H, W = stack.shape
+    Hr = -(-H // BH) * BH
+    Wr = -(-W // BW) * BW
+    padded = jnp.pad(
+        stack, ((0, 0), (4, 4 + (Hr - H)), (4, 4 + (Wr - W))), mode="edge")
+
+    lvl, r0s, c0s = cell_block_table(shapes, BH, BW, border)
+    n_blocks = len(lvl)
+    hs = [shapes[l][0] for l in lvl]
+    ws = [shapes[l][1] for l in lvl]
+    n_cells = BW // BH
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(
+            (1, Hr + 8, Wr + 8),
+            lambda b, lvl_r, r0_r, c0_r, h_r, w_r: (lvl_r[b], 0, 0))],
+        out_specs=[
+            pl.BlockSpec(
+                (1, n_cells, K),
+                lambda b, lvl_r, r0_r, c0_r, h_r, w_r: (b, 0, 0)),
+            pl.BlockSpec(
+                (1, n_cells, K),
+                lambda b, lvl_r, r0_r, c0_r, h_r, w_r: (b, 0, 0)),
+        ],
+    )
+    vals, pos = pl.pallas_call(
+        _make_cell_topk_kernel(BH, BW, K, border),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, n_cells, K), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, n_cells, K), jnp.int32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(lvl, jnp.int32), jnp.asarray(r0s, jnp.int32),
+      jnp.asarray(c0s, jnp.int32), jnp.asarray(hs, jnp.int32),
+      jnp.asarray(ws, jnp.int32), padded)
+    return vals, pos
+
+
 def default_interpret() -> bool:
     return jax.default_backend() not in ("tpu",)

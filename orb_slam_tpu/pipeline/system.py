@@ -97,7 +97,7 @@ class SlamConfig:
                                       # points/edges across the mesh (psum-
                                       # reduced camera system over ICI);
                                       # results identical to single-device
-    max_ba_cams: int = 0              # static bound on cameras optimized by
+    max_ba_cams: int = 80             # static bound on cameras optimized by
                                       # one local BA: the reduced (Schur)
                                       # camera system is built in a compact
                                       # space of this many slots, so the
@@ -105,6 +105,11 @@ class SlamConfig:
                                       # map.max_keyframes (0 = capacity).
                                       # The strongest covisibles are kept
                                       # when the local set exceeds it.
+                                      # Default 80 = the reference's local-
+                                      # map size bound (Tracking.cc:814-816)
+                                      # so the compact O(edges + Kl^3) mode
+                                      # is the production path at any
+                                      # max_keyframes.
     mapper_latency_frames: int = 0    # optional sequential-mode stand-in for
                                       # the reference's AcceptKeyFrames
                                       # backpressure (0 = mapper always idle,
@@ -131,6 +136,8 @@ class SlamConfig:
                     scale_factor=self.orb.scale_factor)
         # the tracking candidate pool cannot exceed the point capacity
         self.p_local = min(self.p_local, self.map.max_points)
+        # the compact BA camera space cannot exceed the keyframe capacity
+        self.max_ba_cams = min(self.max_ba_cams, self.map.max_keyframes)
         if not self.bow_slots:
             # every feature may land on a distinct word; fewer slots would
             # silently drop BoW mass (advisor finding, round 1). Oracle
@@ -223,6 +230,9 @@ class SLAMSystem:
         self.last_pose = np.eye(4, dtype=np.float32)
         self.velocity = np.eye(4, dtype=np.float32)
         self.init_ref: Optional[FrameData] = None
+        # previous frame + its feature->point bindings, for the
+        # TrackPreviousFrame recovery ladder (Tracking.cc:486-552)
+        self._prev_frame: Optional[tuple] = None
         self.last_kf_frame = -10**9
         self.last_kf_slot = -1
         self.ref_kf_tracked = 0
@@ -332,6 +342,12 @@ class SLAMSystem:
                 extract = _partial(_extract_stacked, config=cfg.orb,
                                    use_pallas=self.extractor.use_pallas)
 
+                # Serial extract-then-track scan. A software-pipelined
+                # variant (step i extracts frame i while tracking frame
+                # i-1) was measured NEUTRAL on v5e — XLA:TPU executes the
+                # fused loop body's ops serially, so there is no
+                # coarse-grained extract/track overlap to win (PERF.md
+                # round 3) — and it costs extra carry traffic.
                 def step(carry, img):
                     f = extract(img, consts)
                     xy_und = undistort_points(cam, f.xy)
@@ -400,11 +416,13 @@ class SLAMSystem:
             ts = ts_list[b] if ts_list[b] is not None else fid / 30.0
             n_in = int(cn_in[b])
             if n_in < cfg.min_track_inliers:
-                # the chunk runs WITHOUT the wide-window retry (its cond
-                # branch costs ~1.2 ms/frame in-scan even untaken, PERF.md);
+                # the chunk runs WITHOUT the retry ladder (its cond branch
+                # costs ~1.2 ms/frame in-scan even untaken, PERF.md);
                 # re-track this frame through the sequential path, which
-                # performs the retry / LOST / relocalisation / keyframe
-                # logic exactly as a non-batched call would
+                # performs the TrackPreviousFrame ladder / LOST /
+                # relocalisation / keyframe logic exactly as a non-batched
+                # call would (self._prev_frame tracks the replay, so the
+                # ladder sees frame b-1)
                 _flush_counters()
                 T = self._track(_frame_data(b, fid, ts))
                 poses_out.append(None if T is None else self.last_pose.copy())
@@ -417,6 +435,7 @@ class SLAMSystem:
             pids = cobs[b][cobs[b] >= 0]
             np.add.at(found_sum, pids, 1)
             counters_dirty = True
+            self._prev_frame = (_frame_data(b, fid, ts), chunk.obs[b])
             self.velocity = (
                 T_new @ _np_se3_inverse(self.last_pose)).astype(np.float32)
             self.last_pose = T_new.astype(np.float32)
@@ -648,9 +667,47 @@ class SLAMSystem:
             scale_factor=cfg.map.scale_factor, n_levels=cfg.map.n_levels,
         )
         n_in = int(res.n_inliers)
+        if n_in < cfg.min_track_inliers and self._prev_frame is not None:
+            # TrackPreviousFrame (Tracking.cc:486-552): recover the pose
+            # from frame-to-frame correspondences — works even when the
+            # map-side candidate pool is starved — then re-run the fused
+            # local-map step from the recovered pose (the reference's
+            # TrackLocalMap follow-up, Tracking.cc:245-270)
+            from orb_slam_tpu.pipeline.track_kernels import track_prev_frame
+            pf, pobs = self._prev_frame
+            # bindings were snapshotted before any mapper surgery; route
+            # merged/dead ids through the forwarding table (Replace
+            # semantics) — rare path, host gather is fine
+            pobs_np = np.asarray(pobs)
+            live = pobs_np >= 0
+            pobs_np = np.where(live, self.pt_forward[np.clip(pobs_np, 0,
+                               len(self.pt_forward) - 1)], -1)
+            pobs = jnp.asarray(pobs_np)
+            coarse = ((cfg.map.n_levels - 1) // 2 + 1
+                      if self.n_keyframes > 5 else 0)
+            T_rec, _, n_rec = track_prev_frame(
+                self.map, pf.xy, pf.desc, pf.octave, pf.angle, pobs,
+                frame.xy, frame.desc, frame.octave, frame.angle,
+                frame.valid, jnp.asarray(self.last_pose), self.K_dev,
+                jnp.int32(coarse),
+                width=cfg.camera.width, height=cfg.camera.height,
+                scale_factor=cfg.map.scale_factor,
+                n_levels=cfg.map.n_levels)
+            if int(n_rec) >= 10:
+                res = track_frame(
+                    self.map, frame.xy, frame.desc, frame.octave,
+                    frame.valid, T_rec, self.K_dev,
+                    p_local=cfg.p_local,
+                    width=cfg.camera.width, height=cfg.camera.height,
+                    radius=cfg.track_radius,
+                    scale_factor=cfg.map.scale_factor,
+                    n_levels=cfg.map.n_levels,
+                )
+                n_in = int(res.n_inliers)
         if n_in < cfg.min_track_inliers:
-            # retry without motion model, wider window (TrackPreviousFrame
-            # fallback, Tracking.cc:486-552)
+            # last rung: re-match the MAP with a wider window from the
+            # unmoved pose (no reference analog; catches motion-model
+            # overshoot when the previous frame itself was weak)
             res = track_frame(
                 self.map, frame.xy, frame.desc, frame.octave, frame.valid,
                 jnp.asarray(self.last_pose), self.K_dev,
@@ -664,6 +721,7 @@ class SLAMSystem:
         if n_in < cfg.min_track_inliers:
             self.state = LOST
             self.lost_count += 1
+            self._prev_frame = None
             self.velocity = np.eye(4, dtype=np.float32)
             # auto-reset if lost soon after init (Tracking.cc:272-279)
             if self.n_keyframes <= 5 and self.kf_counter <= 5:
@@ -677,6 +735,9 @@ class SLAMSystem:
         self.state = WORKING
         T_new = np.asarray(res.pose)
         self._apply_counters(res)
+        # retain this frame + bindings as mLastFrame for the
+        # TrackPreviousFrame ladder
+        self._prev_frame = (frame, res.obs)
         # motion model: velocity = T_new @ inv(T_last)  (Tracking.cc:282-295)
         self.velocity = (T_new @ _np_se3_inverse(self.last_pose)).astype(np.float32)
         self.last_pose = T_new

@@ -184,6 +184,121 @@ track_frame = partial(
 )(_track_body)
 
 
+def _prev_frame_ladder_body(
+    state: MapState,
+    prev_xy,          # [N,2] previous frame undistorted keypoints
+    prev_desc,        # [N,8] u32
+    prev_octave,      # [N] i32
+    prev_angle,       # [N] f32
+    prev_obs,         # [N] i32 point id bound to each prev feature (-1 none)
+    cur_xy,           # [M,2]
+    cur_desc,         # [M,8] u32
+    cur_octave,       # [M] i32
+    cur_angle,        # [M] f32
+    cur_valid,        # [M] bool
+    T_last,           # [4,4] previous frame pose
+    K_mat,
+    coarse_min_octave,  # i32 scalar: maxOctave/2+1 once >5 KFs, else 0
+    *,
+    width: int = 640,
+    height: int = 480,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+):
+    """The reference's TrackPreviousFrame as ONE fused program
+    (src/Tracking.cc:486-552): frame-to-frame correspondence recovery for
+    when motion-model map tracking fails — matches against the previous
+    FRAME's bound points, which works even when the map-side candidate
+    selection is starved (sparse map, init hiccups).
+
+    Ladder (each stage a dense masked match instead of the reference's
+    per-feature grid loops, ORBmatcher.cc:409-517/519-594):
+      1. WindowSearch, 200 px, coarse octaves only (>= coarse_min_octave),
+         same-octave candidates, ratio 0.9 + rotation histogram;
+      2. if <10 matches: WindowSearch, 100 px, all octaves;
+      3. if >=10: pose-GN (4-round chi2) + outlier discard, then
+         SearchByProjection top-up at 15 px; else last-chance
+         SearchByProjection at 50 px from the unoptimized pose;
+      4. final pose-GN over the combined correspondences.
+
+    Both WindowSearch stages are computed unconditionally and selected by
+    count (two tiny MXU Hamming matmuls beat a lax.cond's serialization);
+    the projection stage folds the 15/50 px branch into traced
+    (pose, radius) operands. Returns (T_opt, n_inliers, n_matches); the
+    caller follows up with the fused local-map step from T_opt (the
+    reference always runs TrackLocalMap after, Tracking.cc:245-270)."""
+    P = state.pt_valid.shape[0]
+    M = cur_xy.shape[0]
+    obs_c = jnp.clip(prev_obs, 0, P - 1)
+    pt_ok = (prev_obs >= 0) & state.pt_valid[obs_c]
+    pts = state.pt_pos[obs_c]
+
+    from orb_slam_tpu.ops.matching import window_gate
+
+    # --- stage 1: coarse-octave 200 px window, same octave ---
+    gate1 = window_gate(prev_xy, cur_xy, 200.0, octave_b=cur_octave,
+                        min_level=prev_octave, max_level=prev_octave)
+    i1, _, m1 = match(
+        prev_desc, cur_desc, allowed=gate1,
+        valid_a=pt_ok & (prev_octave >= coarse_min_octave),
+        valid_b=cur_valid, angle_a=prev_angle, angle_b=cur_angle,
+        max_dist=TH_HIGH, nn_ratio=0.9, check_rotation=True, unique=True)
+    n1 = jnp.sum(m1)
+
+    # --- stage 2: all octaves, 100 px window (selected when n1 < 10) ---
+    gate2 = window_gate(prev_xy, cur_xy, 100.0, octave_b=cur_octave,
+                        min_level=prev_octave, max_level=prev_octave)
+    i2, _, m2 = match(
+        prev_desc, cur_desc, allowed=gate2, valid_a=pt_ok,
+        valid_b=cur_valid, angle_a=prev_angle, angle_b=cur_angle,
+        max_dist=TH_HIGH, nn_ratio=0.9, check_rotation=True, unique=True)
+    use2 = n1 < 10
+    best_idx = jnp.where(use2, i2, i1)
+    matched = jnp.where(use2, m2, m1)
+    n12 = jnp.where(use2, jnp.sum(m2), n1)
+
+    # --- intermediate pose-GN + outlier discard (Tracking.cc:514-527) ---
+    inv_sigma2_of = lambda idx: 1.0 / (
+        scale_factor ** (2.0 * cur_octave[idx].astype(jnp.float32)))
+    T1, inl1, _ = pose_optimize(
+        T_last, pts, cur_xy[best_idx], inv_sigma2_of(best_idx), matched,
+        K_mat, iters=(4, 3, 2, 2))
+    good = n12 >= 10
+    matched = matched & jnp.where(good, inl1, True)
+    T_proj = jnp.where(good, T1, T_last)
+    rad = jnp.where(good, 15.0, 50.0)
+
+    # --- projection top-up (ORBmatcher.cc:519-594): project the UNMATCHED
+    # prev-frame points through T_proj; exclude already-bound cur features
+    # (vpMapPointMatches2[i2] guard) and already-found points
+    # (sAlreadyFound == the matched prev rows; bindings are unique) ---
+    proj, z = project_points(pts, T_proj, K_mat)
+    gate_p = window_gate(proj, cur_xy, rad, octave_b=cur_octave,
+                         min_level=prev_octave, max_level=prev_octave)
+    col_taken = jnp.zeros((M,), bool).at[
+        jnp.where(matched, best_idx, M)].set(True, mode="drop")
+    ip, _, mp_ = match(
+        prev_desc, cur_desc, allowed=gate_p,
+        valid_a=pt_ok & ~matched & (z > 0),
+        valid_b=cur_valid & ~col_taken,
+        max_dist=TH_HIGH, nn_ratio=0.9, unique=True)
+
+    best_all = jnp.where(matched, best_idx, ip)
+    matched_all = matched | mp_
+
+    # --- final pose-GN over combined correspondences (Tracking.cc:541) ---
+    T_f, _, n_in = pose_optimize(
+        T_proj, pts, cur_xy[best_all], inv_sigma2_of(best_all), matched_all,
+        K_mat, iters=(4, 3, 2, 2))
+    return T_f, n_in, jnp.sum(matched_all)
+
+
+track_prev_frame = partial(
+    fused_jit,
+    static_argnames=("width", "height", "scale_factor", "n_levels"),
+)(_prev_frame_ladder_body)
+
+
 class ChunkResult(NamedTuple):
     """Per-frame outputs of a scan-chained tracking chunk (leading axis B)."""
 

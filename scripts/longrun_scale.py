@@ -1,0 +1,135 @@
+"""Scale-regime long run (VERDICT r2 #7): a session at max_keyframes=1024
+with the compact-BA default (max_ba_cams=80, the reference's local-map
+bound, Tracking.cc:814-816) that grows the map past 384 keyframes — the
+threshold where essential-graph optimization switches from the dense
+solver to matrix-free PCG (pipeline/loop_closing.py) — and closes a loop
+there, while recording per-keyframe mapper integration time vs map size.
+
+The claim under test is the reference's own scaling property: LocalMapping
+cost must NOT grow with the global map (its local BA touches a bounded
+covisible neighborhood, Optimizer.cc:287-536); here that bound is the
+compact Schur camera space + fixed-shape kernels. Oracle features (no
+extraction) keep a 1-CPU host run tractable; every mapper kernel is the
+production path.
+
+Writes LONGRUN_r03.json: per-quartile mean mapper seconds, KF/point
+counts, loop + CG evidence, flatness verdict.
+
+Usage: python scripts/longrun_scale.py [--out LONGRUN_r03.json]
+"""
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import argparse
+import json
+import sys
+import time
+
+import os
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="LONGRUN_r03.json")
+    ap.add_argument("--frames", type=int, default=1600)
+    args = ap.parse_args()
+
+    from orb_slam_tpu.io.synthetic import SyntheticScene, ring_trajectory
+    from orb_slam_tpu.io.trajectory import ate_rmse, camera_centers_from_cw
+    from orb_slam_tpu.geometry import CameraModel
+    from orb_slam_tpu.pipeline.system import SLAMSystem, SlamConfig
+    from orb_slam_tpu.slam_map import MapConfig
+
+    n = args.frames
+    # a big ring: ~2.4 frames/degree, keyframe every ~3-4 frames under the
+    # forced policy -> ~450 KFs by the time the orbit closes
+    scene = SyntheticScene(n_points=6000, seed=91, ring=True,
+                           depth_range=(9.0, 14.0), extent=(0, 4.0, 0),
+                           width=640, height=480)
+    poses = ring_trajectory(n, orbit_radius=3.0,
+                            total_angle=2.0 * np.pi * 1.06)
+
+    cfg = SlamConfig(
+        camera=CameraModel.create(scene.fx, scene.fy, scene.cx, scene.cy,
+                                  width=scene.width, height=scene.height),
+        orb=None,  # oracle features
+        map=MapConfig(max_keyframes=1024, max_points=32768, n_features=320),
+        p_local=4096, n_triangulation_neighbors=6, n_fuse_neighbors=6,
+        n_fuse_second_neighbors=2, local_ba_window=8,
+        min_frames_between_kf=2, max_frames_between_kf=4,
+        kf_tracked_ratio=1.5,  # force regular keyframes (dwell regime)
+        enable_loop_closing=True, enable_relocalisation=False,
+        min_init_matches=60,
+    )
+    assert cfg.max_ba_cams == 80, "compact-BA default regressed"
+    system = SLAMSystem(cfg)
+
+    mapper_times = []   # (n_kf_at_step, seconds)
+    est = {}
+    t_start = time.time()
+    prev_kf = 0
+    for i in range(n):
+        feats = scene.observe(poses[i], n_slots=320, pix_noise=0.4,
+                              desc_bit_noise=5)
+        t0 = time.time()
+        T = system.process(features=feats)
+        dt = time.time() - t0
+        nk = system.n_keyframes
+        if nk > prev_kf:  # this frame triggered a keyframe integration
+            mapper_times.append((nk, dt))
+            prev_kf = nk
+        if T is not None:
+            est[i] = T
+        if i % 100 == 0:
+            print(f"\rframe {i}/{n} kf={nk} pts={system.n_points} "
+                  f"loops={system.n_loops_closed} "
+                  f"({time.time()-t_start:.0f}s)", end="", file=sys.stderr)
+    print(file=sys.stderr)
+
+    kf_counts = np.array([k for k, _ in mapper_times])
+    secs = np.array([s for _, s in mapper_times])
+    # drop compile-dominated warmup: first 10 integrations
+    kf_c, sec_c = kf_counts[10:], secs[10:]
+    qs = np.array_split(np.arange(len(sec_c)), 4)
+    quartiles = [round(float(sec_c[q].mean()), 3) for q in qs]
+    flat = quartiles[3] < 2.0 * quartiles[0]
+
+    ids = sorted(est.keys())
+    C_est = camera_centers_from_cw(np.stack([est[i] for i in ids]))
+    C_gt = camera_centers_from_cw(poses[ids])
+    rmse, _ = ate_rmse(C_est, C_gt)
+    traj_len = float(np.sum(np.linalg.norm(np.diff(C_gt, axis=0), axis=1)))
+
+    out = {
+        "metric": "mapper_integration_time_vs_map_size",
+        "n_frames": n,
+        "n_keyframes_final": int(system.n_keyframes),
+        "n_points_final": int(system.n_points),
+        "loops_closed": int(system.n_loops_closed),
+        "cg_regime": bool(system.n_keyframes > 384),
+        "mapper_s_per_kf_quartiles": quartiles,
+        "flat_scaling": bool(flat),
+        "ate_rmse": round(float(rmse), 3),
+        "trajectory_length": round(traj_len, 2),
+        "ate_over_length_pct": round(100.0 * rmse / traj_len, 2),
+        "wall_s": round(time.time() - t_start, 1),
+        "config": {"max_keyframes": 1024, "max_points": 32768,
+                   "max_ba_cams": cfg.max_ba_cams,
+                   "oracle_features": True},
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), file=sys.stderr)
+    if not flat:
+        raise SystemExit("mapper time grew with map size")
+
+
+if __name__ == "__main__":
+    main()

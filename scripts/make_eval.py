@@ -1,10 +1,19 @@
-"""Accuracy artifact: render the validated loop sequence, run it through the
-CLI (`run` -> KeyFrameTrajectory.txt, `eval` -> ATE RMSE vs ground truth),
+"""Accuracy artifact: render evaluation sequences, run them through the
+CLI (`run` -> KeyFrameTrajectory.txt, `eval` -> ATE/RPE vs ground truth),
 and record EVAL_r{N}.json at the repo root — the reference's evaluation
 protocol (TUM-format keyframe trajectory -> ATE RMSE, main.cc:160-185 +
 the TRO 2015 paper's metric).
 
-Usage: python scripts/make_eval.py [--out EVAL_r02.json]"""
+Round-3 hardening (VERDICT r2 #5): sequences no longer assume a perfect
+pinhole. Frames are rendered through a NONZERO radial-tangential lens
+(k1/k2/p1/p2 in the settings YAML, undistorted by the pipeline exactly as
+the reference's Frame::UndistortKeyPoints, src/Frame.cc:289-319), carry
+per-frame exposure jitter, sensor noise and vignetting, and are saved as
+uint8 PNGs (quantization included). Two sequences (ring-orbit loop +
+lateral sweep) x the reference's own 1000-feature / 8-level configuration
+(Data/Settings.yaml:26-38).
+
+Usage: python scripts/make_eval.py [--out EVAL_r03.json]"""
 
 import argparse
 import json
@@ -23,87 +32,92 @@ jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
+# moderate real-lens coefficients (webcam/rosbag calibration order of
+# magnitude; the reference's example settings carry the same four terms)
+DIST = (-0.12, 0.04, 8e-4, -5e-4)
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="EVAL_r02.json")
-    ap.add_argument("--frames", type=int, default=260)
-    args = ap.parse_args()
-
-    import jax.numpy as jnp
-    from orb_slam_tpu.io.synthetic import SyntheticScene, ring_trajectory
-    from orb_slam_tpu.geometry import se3_inverse, rot_to_quat
-    from orb_slam_tpu.io.trajectory import (
-        read_tum, ate_rmse, camera_centers_from_cw)
-    from PIL import Image
-
-    N = args.frames
-    scene = SyntheticScene(
-        n_points=1200, seed=5, width=320, height=240,
-        fx=200.0, fy=200.0, cx=160.0, cy=120.0,
-        ring=True, depth_range=(10.0, 13.0), extent=(0, 3.0, 0))
-    poses = ring_trajectory(N, orbit_radius=4.0,
-                            total_angle=2.0 * np.pi * N / 240.0)
-
-    tmp = tempfile.mkdtemp(prefix="slam_eval_")
-    img_dir = os.path.join(tmp, "images")
-    os.makedirs(img_dir)
-    print(f"rendering {N} frames -> {img_dir}", file=sys.stderr)
-    for i in range(N):
-        img = scene.render_image(poses[i], patch=6)
-        Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(
-            os.path.join(img_dir, f"{i:06d}.png"))
-
-    settings = os.path.join(tmp, "settings.yaml")
-    with open(settings, "w") as f:
-        f.write("""%YAML:1.0
-Camera.fx: 200.0
-Camera.fy: 200.0
-Camera.cx: 160.0
-Camera.cy: 120.0
-Camera.k1: 0.0
-Camera.k2: 0.0
-Camera.p1: 0.0
-Camera.p2: 0.0
+SETTINGS_TMPL = """%YAML:1.0
+Camera.fx: {fx}
+Camera.fy: {fy}
+Camera.cx: {cx}
+Camera.cy: {cy}
+Camera.k1: {k1}
+Camera.k2: {k2}
+Camera.p1: {p1}
+Camera.p2: {p2}
 Camera.fps: 30.0
 Camera.RGB: 1
-Camera.width: 320
-Camera.height: 240
+Camera.width: {w}
+Camera.height: {h}
 ORBextractor.nFeatures: 1000
 ORBextractor.scaleFactor: 1.2
 ORBextractor.nLevels: 8
 ORBextractor.fastTh: 20
 ORBextractor.nScoreType: 1
 UseMotionModel: 1
-""")
+"""
 
-    # ground truth in TUM format
+
+def render_sequence(tmp, scene, poses, photo_seed0):
+    from PIL import Image
+    img_dir = os.path.join(tmp, "images")
+    os.makedirs(img_dir)
+    prng = np.random.default_rng(photo_seed0)
+    for i in range(len(poses)):
+        img = scene.render_image(
+            poses[i], patch=6,
+            exposure=float(prng.uniform(0.92, 1.08)),
+            bias=float(prng.uniform(-3, 3)),
+            vignette=0.2, noise=1.5, quantize=True,
+            photo_seed=photo_seed0 + i)
+        Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(
+            os.path.join(img_dir, f"{i:06d}.png"))
+    return img_dir
+
+
+def write_gt(tmp, poses):
+    import jax.numpy as jnp
+    from orb_slam_tpu.geometry import se3_inverse, rot_to_quat
     gt_path = os.path.join(tmp, "gt.txt")
     with open(gt_path, "w") as f:
-        for i in range(N):
+        for i in range(len(poses)):
             T_wc = np.asarray(se3_inverse(jnp.asarray(poses[i])))
             q = np.asarray(rot_to_quat(jnp.asarray(T_wc[:3, :3])))
             t = T_wc[:3, 3]
             f.write(f"{i/30.0:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
                     f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n")
+    return gt_path
+
+
+def run_one(name, scene, poses, extra_cli, photo_seed0):
+    from orb_slam_tpu.io.trajectory import read_tum
+
+    tmp = tempfile.mkdtemp(prefix=f"slam_eval_{name}_")
+    print(f"[{name}] rendering {len(poses)} frames -> {tmp}",
+          file=sys.stderr)
+    img_dir = render_sequence(tmp, scene, poses, photo_seed0)
+    gt_path = write_gt(tmp, poses)
+
+    settings = os.path.join(tmp, "settings.yaml")
+    k1, k2, p1, p2 = scene.dist
+    with open(settings, "w") as f:
+        f.write(SETTINGS_TMPL.format(
+            fx=scene.fx, fy=scene.fy, cx=scene.cx, cy=scene.cy,
+            k1=k1, k2=k2, p1=p1, p2=p2,
+            w=scene.width, h=scene.height))
 
     traj = os.path.join(tmp, "KeyFrameTrajectory.txt")
     t0 = time.time()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    # pin the validated run configuration (the loop-closure acceptance gate
-    # sits at ~20 Sim3 inliers on this sequence; the obs-cap changes BA
-    # float ordering enough to flip marginal candidates)
-    env.setdefault("SLAM_OBS_CAP", "16")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(
         [sys.executable, "-m", "orb_slam_tpu.cli", "run", settings, img_dir,
-         "--out", traj, "--max-keyframes", "128", "--max-points", "8192",
-         "--p-local", "2048", "--min-init-matches", "60"],
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        env=env, capture_output=True, text=True)
+         "--out", traj] + extra_cli,
+        cwd=root, env=env, capture_output=True, text=True)
     print(r.stderr[-2000:], file=sys.stderr)
     if r.returncode != 0:
-        raise SystemExit(f"cli run failed rc={r.returncode}")
+        raise SystemExit(f"[{name}] cli run failed rc={r.returncode}")
     wall = time.time() - t0
     loops = -1
     for line in r.stderr.splitlines():
@@ -112,25 +126,76 @@ UseMotionModel: 1
 
     r2 = subprocess.run(
         [sys.executable, "-m", "orb_slam_tpu.cli", "eval", traj, gt_path],
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        env=env, capture_output=True, text=True)
+        cwd=root, env=env, capture_output=True, text=True)
     print(r2.stdout, file=sys.stderr)
     ev = json.loads(r2.stdout.strip().splitlines()[-1])
 
     ts_g, p_g, _ = read_tum(gt_path)
     traj_len = float(np.sum(np.linalg.norm(np.diff(p_g, axis=0), axis=1)))
-    out = {
-        "metric": "ate_rmse_keyframe_trajectory",
-        "sequence": f"rendered ring orbit, {N} frames, 420 deg, organic "
-                    f"loop closure, real frontend + pretrained vocab",
+    return {
+        "sequence": name,
+        "n_frames": len(poses),
+        "distortion": list(scene.dist),
+        "photometric": "exposure 0.92-1.08, bias +-3, vignette 0.2, "
+                       "noise sigma 1.5, uint8 PNG",
         "ate_rmse": ev["ate_rmse"],
+        "rpe_1": ev["rpe_1"],
         "loops_closed": loops,
         "n_keyframes_associated": ev["n_associated"],
         "trajectory_length": round(traj_len, 3),
         "ate_over_length_pct": round(100.0 * ev["ate_rmse"] / traj_len, 2),
         "wall_s_cpu_host": round(wall, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="EVAL_r03.json")
+    ap.add_argument("--frames", type=int, default=260)
+    args = ap.parse_args()
+
+    from orb_slam_tpu.io.synthetic import (
+        SyntheticScene, ring_trajectory, lateral_trajectory,
+    )
+
+    N = args.frames
+    seqs = []
+
+    # 1. ring orbit with an organic loop closure (the validated round-2
+    # sequence, now through a distorted lens + photometric nuisance)
+    scene1 = SyntheticScene(
+        n_points=1200, seed=5, width=320, height=240,
+        fx=200.0, fy=200.0, cx=160.0, cy=120.0,
+        ring=True, depth_range=(10.0, 13.0), extent=(0, 3.0, 0),
+        dist=DIST)
+    poses1 = ring_trajectory(N, orbit_radius=4.0,
+                             total_angle=2.0 * np.pi * N / 240.0)
+    env_obs = dict(os.environ)
+    os.environ.setdefault("SLAM_OBS_CAP", "16")
+    seqs.append(("ring_loop_dist", scene1, poses1,
+                 ["--max-keyframes", "128", "--max-points", "8192",
+                  "--p-local", "2048", "--min-init-matches", "60"], 4000))
+
+    # 2. lateral sweep (no loop; pure VO accuracy), different seed/world
+    scene2 = SyntheticScene(
+        n_points=900, seed=29, width=320, height=240,
+        fx=200.0, fy=200.0, cx=160.0, cy=120.0,
+        extent=(14.0, 5.0, 3.0), depth_range=(6.0, 11.0), dist=DIST)
+    poses2 = lateral_trajectory(160, step=0.05, yaw_rate=0.004)
+    seqs.append(("lateral_vo_dist", scene2, poses2,
+                 ["--max-keyframes", "128", "--max-points", "8192",
+                  "--p-local", "2048", "--min-init-matches", "60"], 8000))
+
+    results = [run_one(*s) for s in seqs]
+    out = {
+        "metric": "ate_rmse_keyframe_trajectory",
         "protocol": "TUM keyframe trajectory vs ground truth, Sim3-aligned "
-                    "ATE RMSE (reference: main.cc:160-185 + TRO'15 paper)",
+                    "ATE RMSE + RPE(1) on the aligned estimate (reference: "
+                    "main.cc:160-185 + TRO'15). Distorted lens rendered / "
+                    "undistorted by the pipeline (Frame.cc:289-319), uint8, "
+                    "photometric nuisance. 1000 feat / 8 levels "
+                    "(Data/Settings.yaml:26-38).",
+        "sequences": results,
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
