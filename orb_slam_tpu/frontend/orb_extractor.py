@@ -208,29 +208,37 @@ def _extract_stacked(img, pyr_consts=None, *, config: ORBConfig,
             use_harris=config.score_harris,
         )  # [L, Qmax, ...]
 
-    blurred = jnp.round(gaussian_blur_stack(stack))
-
     # orientation + descriptors for ALL levels in one batched pass
     # (gather-as-matmul against the level canvases; ~12 large ops replace
     # ~130 per-level ones — see ops/descriptor_stack.py)
     from orb_slam_tpu.ops.descriptor_stack import (
-        ic_angles_batch, rbrief_batch, rbrief_batch_lut,
+        angles_desc_fused, ic_angles_batch, rbrief_batch, rbrief_batch_lut,
     )
 
-    angle_l = ic_angles_batch(stack, xy_l, shapes_t,
-                              method=config.patch_method)  # [L, Qmax]
     lut = pyr_consts[2] if (pyr_consts is not None
                             and len(pyr_consts) > 2) else None
     if config.desc_lut_bins and lut is None:
         from orb_slam_tpu.ops.descriptor_stack import rbrief_lut_table
         lut = jnp.asarray(rbrief_lut_table(config.desc_lut_bins),
                           jnp.bfloat16)
-    if config.desc_lut_bins:
-        desc_l = rbrief_batch_lut(blurred, xy_l, angle_l, shapes_t, lut,
-                                  config.desc_lut_bins,
-                                  method=config.patch_method)  # [L,Qmax,32]
+    if config.desc_lut_bins and config.patch_method == "onehot":
+        # fast path: ONE 45x45 extraction serves moments + in-patch blur +
+        # int8 LUT descriptor sampling (ops/descriptor_stack.py), levels
+        # processed in two quota groups to avoid padding every level to
+        # level 0's quota
+        angle_l, desc_l = angles_desc_fused(stack, xy_l, shapes_t, lut,
+                                            config.desc_lut_bins,
+                                            quotas=quotas)
     else:
-        desc_l = rbrief_batch(blurred, xy_l, angle_l, shapes_t)
+        angle_l = ic_angles_batch(stack, xy_l, shapes_t,
+                                  method=config.patch_method)  # [L, Qmax]
+        blurred = jnp.round(gaussian_blur_stack(stack))
+        if config.desc_lut_bins:
+            desc_l = rbrief_batch_lut(blurred, xy_l, angle_l, shapes_t, lut,
+                                      config.desc_lut_bins,
+                                      method=config.patch_method)
+        else:
+            desc_l = rbrief_batch(blurred, xy_l, angle_l, shapes_t)
 
     Lv = config.n_levels
     parts = {k: [] for k in ("xy", "s", "v", "lvl", "ang", "desc")}

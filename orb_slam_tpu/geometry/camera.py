@@ -83,7 +83,19 @@ def unproject(cam: CameraModel, uv):
 def undistort_points(cam: CameraModel, uv, iters: int = 8):
     """Iteratively undistort pixel coords (matches cv::undistortPoints'
     fixed-point iteration). Returns *pixel* coords through K (like the
-    reference's Frame::UndistortKeyPoints with P=K, src/Frame.cc:289-319)."""
+    reference's Frame::UndistortKeyPoints with P=K, src/Frame.cc:289-319).
+
+    When the camera is a closed-over constant with ZERO distortion, the
+    whole fixed-point loop is the identity — return the input directly
+    (the reference skips undistortion entirely in that case,
+    src/Frame.cc:291-297; this also spares the per-frame loop on the
+    tracking hot path)."""
+    try:
+        if (float(cam.k1) == 0.0 and float(cam.k2) == 0.0
+                and float(cam.p1) == 0.0 and float(cam.p2) == 0.0):
+            return uv
+    except Exception:
+        pass  # traced coefficients: run the general path
     xd = unproject(cam, uv)
 
     def body(_, x):

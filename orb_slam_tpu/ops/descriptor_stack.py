@@ -90,13 +90,19 @@ def extract_patches_batch(stack, xy_l, shapes, size: int):
     cols = jnp.clip(xy_l[:, :, 0:1] + offs[None, None, :], 0, ws - 1)
     row_oh = jax.nn.one_hot(rows, H, dtype=jnp.bfloat16)   # [L,Q,size,H]
     col_oh = jax.nn.one_hot(cols, W, dtype=jnp.bfloat16)   # [L,Q,size,W]
+    # bf16 END TO END, exactly: every output element is a ONE-HOT selection
+    # (no summation), so a strip/patch value IS the bf16-rounded canvas
+    # value — identical to what the old f32-accumulating form produced
+    # (1.0 x bf16(v) accumulated once = bf16(v)), at half the HBM traffic
+    # for the [L,Q,size,W] strips (the dominant intermediate, ~170 MB/frame
+    # in f32 at 1000 features).
     strips = jnp.einsum(
         "lqrh,lhw->lqrw", row_oh, stack.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.bfloat16,
     )
     patches = jnp.einsum(
-        "lqrw,lqcw->lqrc", strips.astype(jnp.bfloat16), col_oh,
-        preferred_element_type=jnp.float32,
+        "lqrw,lqcw->lqrc", strips, col_oh,
+        preferred_element_type=jnp.bfloat16,
     )
     return patches
 
@@ -134,8 +140,15 @@ def ic_angles_batch(stack, xy_l, shapes, method: str = "onehot"):
     fn = (extract_patches_batch_rowgather if method == "rowgather"
           else extract_patches_batch)
     patches = fn(stack, xy_l, shapes, PATCH)
-    m10 = jnp.einsum("lqij,ij->lq", patches, jnp.asarray(_WX))
-    m01 = jnp.einsum("lqij,ij->lq", patches, jnp.asarray(_WY))
+    # moment weights are integers in [-15, 15]: bf16 x bf16 products with
+    # f32 accumulation are exact on the MXU
+    wx = jnp.asarray(_WX, jnp.bfloat16)
+    wy = jnp.asarray(_WY, jnp.bfloat16)
+    p16 = patches.astype(jnp.bfloat16)
+    m10 = jnp.einsum("lqij,ij->lq", p16, wx,
+                     preferred_element_type=jnp.float32)
+    m01 = jnp.einsum("lqij,ij->lq", p16, wy,
+                     preferred_element_type=jnp.float32)
     return jnp.arctan2(m01, m10)
 
 
@@ -301,19 +314,110 @@ def rbrief_batch_lut(blurred_stack, xy_l, angles_l, shapes, table,
           else extract_patches_batch)
     patches = fn(blurred_stack, xy_l, shapes, _RB_SIZE)
     flat = patches.reshape(Lv, Q, _RB_SIZE * _RB_SIZE)
-    # patch values are integers <= 255 and table entries are {-1,0,+1}:
-    # bf16 products are exact, f32 accumulation is exact
+    # int8 MXU path, EXACT: patch values are integers in [0, 255]; biasing
+    # by -128 fits int8, and every table column holds one +1 and one -1
+    # (sum 0), so the -128 bias cancels: sum (p-128)*t = sum p*t = the
+    # second sample minus the first, an integer in [-255, 255]. int8
+    # matmuls run 2x bf16 on the MXU and quarter the flat-patch traffic.
+    p8 = (flat - 128.0).astype(jnp.int8)
+    t8 = table.astype(jnp.int8)
     y = jnp.einsum(
-        "lqs,st->lqt", flat.astype(jnp.bfloat16), table.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
+        "lqs,st->lqt", p8, t8, preferred_element_type=jnp.int32,
     ).reshape(Lv, Q, n_bins, 256)
+    # |y| <= 255: exact in bf16 for the bin-selection one-hot matmul
     bin_oh = jax.nn.one_hot(
-        quantize_angle(angles_l, n_bins), n_bins, dtype=jnp.float32)
-    sel = jnp.einsum("lqab,lqa->lqb", y, bin_oh)
+        quantize_angle(angles_l, n_bins), n_bins, dtype=jnp.bfloat16)
+    sel = jnp.einsum("lqab,lqa->lqb", y.astype(jnp.bfloat16), bin_oh,
+                     preferred_element_type=jnp.float32)
     bits = (sel > 0.0).astype(jnp.uint8).reshape(Lv, Q, 32, 8)
     weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
     return jnp.sum(bits * weights[None, None, None, :], axis=-1,
                    dtype=jnp.uint8)
+
+
+def angles_desc_fused(raw_stack, xy_l, shapes, table, n_bins: int = 30,
+                      quotas=None):
+    """(angles [L, Q], desc [L, Q, 32]) from ONE 45x45 patch extraction.
+
+    quotas: optional static per-level feature quotas. When given, levels
+    are processed in TWO groups split at L/2, each padded only to ITS
+    group's max quota: the per-level quotas fall geometrically
+    (ORBextractor.cc:476-487), so one [L, Qmax] layout wastes ~40% of the
+    patch/LUT work on padding slots of the upper levels (level 7's quota
+    is ~1/4 of level 0's at the reference 1000/8 configuration).
+
+    Replaces three passes of the round-2 design — a 31x31 raw extraction
+    (IC angles), a full-canvas 7x7 blur, and a 39x39 blurred extraction
+    (rBRIEF sampling) — with a single 45x45 raw extraction: the moment
+    window is its center crop (bitwise-identical clamped indices), and the
+    7x7 blur runs separably IN-PATCH (45 -> 39 valid), so the canvas never
+    round-trips through a blurred copy. ~35% fewer gather-matmul MACs and
+    ~35% less strip traffic (PERF.md round 3).
+
+    Deviations vs the split path, both inside the established fast-path
+    budget (tests/test_stacked_extractor.py): (1) blur consumes
+    bf16-rounded raw samples (<=0.25 intensity pre-round); (2) within ~22
+    px of a level's true edge the blur sees clamp-replicated rows instead
+    of the canvas blur's zero-bleed (closer to the reference's per-level
+    reflect blur, ORBextractor.cc:768-771, than the zero-bleed was)."""
+    from orb_slam_tpu.ops.image import gaussian_kernel1d
+    from orb_slam_tpu.ops.orb_descriptor import _WX, _WY
+
+    Lv, Q = xy_l.shape[0], xy_l.shape[1]
+    if quotas is not None and Lv > 1:
+        L2 = Lv // 2
+        q_hi = max(quotas[:L2])
+        q_lo = max(quotas[L2:])
+        if q_lo < Q or q_hi < Q:
+            angs, descs = [], []
+            for (a, b, qg) in ((0, L2, q_hi), (L2, Lv, q_lo)):
+                # crop the canvas to the group's largest level (levels
+                # shrink monotonically): the gather-matmul contracts over
+                # canvas rows/cols, so the upper group's einsums span
+                # ~23% of the full canvas area instead of 100%
+                hg, wg = shapes[a]
+                ag, dg = angles_desc_fused(
+                    raw_stack[a:b, :hg, :wg], xy_l[a:b, :qg],
+                    tuple(shapes[a:b]), table, n_bins, quotas=None)
+                pad = Q - qg
+                angs.append(jnp.pad(ag, ((0, 0), (0, pad))))
+                descs.append(jnp.pad(dg, ((0, 0), (0, pad), (0, 0))))
+            return (jnp.concatenate(angs, 0), jnp.concatenate(descs, 0))
+
+    S = _RB_SIZE + 6                                    # 45
+    p45 = extract_patches_batch(raw_stack, xy_l, shapes, S)  # bf16
+    m = (S - PATCH) // 2
+    center = p45[:, :, m:m + PATCH, m:m + PATCH]
+    wx = jnp.asarray(_WX, jnp.bfloat16)
+    wy = jnp.asarray(_WY, jnp.bfloat16)
+    m10 = jnp.einsum("lqij,ij->lq", center, wx,
+                     preferred_element_type=jnp.float32)
+    m01 = jnp.einsum("lqij,ij->lq", center, wy,
+                     preferred_element_type=jnp.float32)
+    angles = jnp.arctan2(m01, m10)
+
+    k = gaussian_kernel1d(7, 2.0)
+    pf = p45.astype(jnp.float32)
+    rows = sum(float(k[i]) * pf[:, :, i:i + _RB_SIZE, :] for i in range(7))
+    blurred = sum(float(k[i]) * rows[:, :, :, i:i + _RB_SIZE]
+                  for i in range(7))
+    flat = jnp.round(blurred).reshape(Lv, Q, _RB_SIZE * _RB_SIZE)
+
+    # int8 MXU LUT matmul (see rbrief_batch_lut for the exactness argument)
+    p8 = (flat - 128.0).astype(jnp.int8)
+    t8 = table.astype(jnp.int8)
+    y = jnp.einsum(
+        "lqs,st->lqt", p8, t8, preferred_element_type=jnp.int32,
+    ).reshape(Lv, Q, n_bins, 256)
+    bin_oh = jax.nn.one_hot(
+        quantize_angle(angles, n_bins), n_bins, dtype=jnp.bfloat16)
+    sel = jnp.einsum("lqab,lqa->lqb", y.astype(jnp.bfloat16), bin_oh,
+                     preferred_element_type=jnp.float32)
+    bits = (sel > 0.0).astype(jnp.uint8).reshape(Lv, Q, 32, 8)
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+    desc = jnp.sum(bits * weights[None, None, None, :], axis=-1,
+                   dtype=jnp.uint8)
+    return angles, desc
 
 
 def gaussian_blur_stack(stack, ksize: int = 7, sigma: float = 2.0):

@@ -183,11 +183,10 @@ def detect_keypoints_stack_pallas(
     narrow-VMEM targets and as the measured record."""
     from orb_slam_tpu.ops.pallas_fast import fast_score_nms_packed
 
-    score, keep = fast_score_nms_packed(stack, shapes, BH=48, BW=256,
-                                        tree=True, interpret=interpret)
-    return select_from_scores(score, keep, shapes, quotas, th_ini=th_ini,
-                              th_min=th_min, cell_size=cell_size,
-                              border=border)
+    base = fast_score_nms_packed(stack, shapes, BH=64, BW=256, tree=True,
+                                 interpret=interpret, border=border)
+    return _select_from_masked(base, shapes, quotas, th_ini=th_ini,
+                               th_min=th_min, cell_size=cell_size)
 
 
 @partial(jax.jit, static_argnames=("shapes", "quotas", "K", "th_ini",
@@ -245,7 +244,16 @@ def _detect_cells_fused(stack, shapes: tuple, quotas: tuple, K: int = 4,
 def select_from_scores(score, keep, shapes, quotas, th_ini=20.0, th_min=7.0,
                        cell_size=32, border=16):
     """Per-cell threshold fallback + per-level quota top-k (shared tail of
-    both detection variants)."""
+    both detection variants).
+
+    Same policy as ops/fast.detect_fast_keypoints (the per-level oracle):
+    per-cell threshold fallback (th_ini -> th_min, reference
+    src/ORBextractor.cc:540-563), a per-cell top-k cap for spatial spread
+    (the reference's per-cell quota distribution, :644-670), then a global
+    per-level retainBest cut (:678-702). The per-cell top-k runs as ONE
+    hardware-accelerated approx_max_k over the cell rows instead of
+    k rounds of full-canvas max/argmax/mask extraction (measured 0.29 ->
+    ~0.1 ms/frame, PERF.md round 3)."""
     Lv, H, W = score.shape
     ys = jnp.arange(H)[None, :, None]
     xs = jnp.arange(W)[None, None, :]
@@ -256,38 +264,45 @@ def select_from_scores(score, keep, shapes, quotas, th_ini=20.0, th_min=7.0,
         & (xs >= border) & (xs < ws - border)
     )
 
+    base = jnp.where(keep & in_border, score, 0.0)
+    return _select_from_masked(base, shapes, quotas, th_ini=th_ini,
+                               th_min=th_min, cell_size=cell_size)
+
+
+@partial(jax.jit, static_argnames=("shapes", "quotas", "th_ini", "th_min",
+                                   "cell_size"))
+def _select_from_masked(base, shapes, quotas, th_ini=20.0, th_min=7.0,
+                        cell_size=32):
+    """Selection core on a PRE-MASKED score canvas (NMS non-maxima and
+    out-of-border pixels already zeroed — the Pallas detector emits this
+    form directly). Canvas regions OUTSIDE each level's true [h, w) are
+    zeroed here: the packed kernel's block table never writes them, so
+    they hold uninitialized memory."""
+    Lv, H, W = base.shape
+    ys = jnp.arange(H)[None, :, None]
+    xs = jnp.arange(W)[None, None, :]
+    hs = jnp.asarray([h for h, w in shapes])[:, None, None]
+    ws = jnp.asarray([w for h, w in shapes])[:, None, None]
+    base = jnp.where((ys < hs) & (xs < ws), base, 0.0)
     nCy = -(-H // cell_size)
     nCx = -(-W // cell_size)
     Hp, Wp = nCy * cell_size, nCx * cell_size
-    base = jnp.where(keep & in_border, score, 0.0)
     base = jnp.pad(base, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    n_cells = nCy * nCx
     cells = (
         base.reshape(Lv, nCy, cell_size, nCx, cell_size)
         .transpose(0, 1, 3, 2, 4)
-        .reshape(Lv, nCy * nCx, cell_size * cell_size)
+        .reshape(Lv * n_cells, cell_size * cell_size)
     )
-    cell_has_ini = jnp.max(cells, axis=2) > th_ini
-    cell_th = jnp.where(cell_has_ini, th_ini, th_min)
-    cells = jnp.where(cells > cell_th[:, :, None], cells, 0.0)
-
-    n_cells = nCy * nCx
     q_max = max(quotas)
     k_cell = int(min(max(4, -(-2 * q_max // n_cells)), cell_size * cell_size))
-    # per-cell top-k via k rounds of (max, mask-out) — sorting the full
-    # [L, n_cells, cell^2] tensor with lax.top_k costs ~50 ms on the target
-    # runtime; k_cell max-extractions are pure VPU passes
-    pos = jax.lax.broadcasted_iota(
-        jnp.int32, (Lv, n_cells, cell_size * cell_size), 2)
-    tops, idxs = [], []
-    work = cells
-    for _ in range(k_cell):
-        m = jnp.max(work, axis=2)
-        am = jnp.argmax(work, axis=2).astype(jnp.int32)
-        tops.append(m)
-        idxs.append(am)
-        work = jnp.where(pos == am[:, :, None], 0.0, work)
-    cell_top = jnp.stack(tops, axis=2)   # [L, nc, k]
-    cell_idx = jnp.stack(idxs, axis=2)
+    cell_top, cell_idx = jax.lax.approx_max_k(cells, k_cell,
+                                              recall_target=0.99)
+    cell_top = cell_top.reshape(Lv, n_cells, k_cell)
+    cell_idx = cell_idx.reshape(Lv, n_cells, k_cell)
+    # per-cell threshold fallback: top-1 IS the cell max (sorted output)
+    cell_th = jnp.where(cell_top[:, :, :1] > th_ini, th_ini, th_min)
+    cell_top = jnp.where(cell_top > cell_th, cell_top, 0.0)
 
     cid = jnp.arange(n_cells)[None, :, None]
     cy, cx = cid // nCx, cid % nCx

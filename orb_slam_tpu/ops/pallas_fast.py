@@ -85,19 +85,60 @@ def fast_score_nms_pallas(stack, interpret: bool = False):
     return score, score >= mx
 
 
-def _make_packed_kernel(BH: int, BW: int, tree: bool = False):
+def _circ9_minmax(d):
+    """All 16 circular sliding-window-9 minima AND maxima of the 16 planes
+    d[k], via two-block prefix/suffix (van Herk / Gil-Werman on the circle):
+    window [s, s+8] spans a suffix of one 8-block and a prefix of the other,
+    so all 16 minima cost 2x(7+7) prefix/suffix + 16 combines = 44 ops vs
+    the log-doubling tree's 64. Returns (mn[16], mx[16])."""
+    out = []
+    for op in (jnp.minimum, jnp.maximum):
+        # P[b][i] = op over d[8b .. 8b+i]; S[b][i] = op over d[8b+i .. 8b+7]
+        P = [[d[0]], [d[8]]]
+        S0, S1 = [None] * 8, [None] * 8
+        for i in range(1, 8):
+            P[0].append(op(P[0][i - 1], d[i]))
+            P[1].append(op(P[1][i - 1], d[8 + i]))
+        S0[7], S1[7] = d[7], d[15]
+        for i in range(6, -1, -1):
+            S0[i] = op(d[i], S0[i + 1])
+            S1[i] = op(d[8 + i], S1[i + 1])
+        w = []
+        for s in range(16):
+            e = (s + 8) % 16  # window [s, s+8] (9 elements), wraps
+            if s == 0:
+                w.append(op(S0[0], P[1][0]))
+            elif s < 8:
+                w.append(op(S0[s], P[1][s]))
+            elif s == 8:
+                w.append(op(S1[0], P[0][0]))
+            else:
+                w.append(op(S1[s - 8], P[0][s - 8]))
+        out.append(w)
+    return out[0], out[1]
+
+
+def _make_packed_kernel(BH: int, BW: int, tree: bool = False,
+                        border: int = 0):
     """Score + 3x3 NMS for one (level, row-block, col-block) tile. The
     score is computed with a 1-pixel halo so the NMS needs no second pass
     over HBM (the XLA reduce_window it replaces re-reads the full score
     canvas).
 
-    tree=True uses the circular sliding-window min/max tree (the XLA
-    fast_score_stack's roll-tree, materialized as 16 difference planes):
-    ~2.3x fewer VPU ops than the 16 sequential arcs, at ~32 live
-    [BH+2, BW+2] planes of VMEM."""
+    tree=True uses the circular prefix/suffix sliding min/max (_circ9_minmax,
+    ~30% fewer VPU ops than the round-2 log-doubling tree, which itself was
+    ~2.3x leaner than 16 sequential arcs); ~32 live [BH+2, BW+2] planes of
+    VMEM.
+
+    border > 0: the kernel additionally ZEROES scores outside each level's
+    detectable interior ([border, h-border) x [border, w-border), true level
+    sizes h/w scalar-prefetched per block) and folds the NMS keep mask into
+    the score plane (non-maxima -> 0), so callers get ONE masked score
+    canvas instead of (score, keep) + a separate border pass."""
     Hh, Wh = BH + 2, BW + 2  # score extent incl. NMS halo
 
-    def kernel(lvl_ref, r0_ref, c0_ref, img_ref, score_ref, keep_ref):
+    def kernel(lvl_ref, r0_ref, c0_ref, h_ref, w_ref, img_ref, score_ref,
+               *maybe_keep_ref):
         b = pl.program_id(0)
         r0 = pl.multiple_of(r0_ref[b], BH)
         c0 = pl.multiple_of(c0_ref[b], BW)
@@ -112,15 +153,7 @@ def _make_packed_kernel(BH: int, BW: int, tree: bool = False):
 
         if tree:
             d = [neighbor(k) - img for k in range(16)]
-            # min/max over each circular 9-window via log-depth doubling
-            mn = [jnp.minimum(d[s], d[(s + 1) % 16]) for s in range(16)]
-            mn = [jnp.minimum(mn[s], mn[(s + 2) % 16]) for s in range(16)]
-            mn = [jnp.minimum(mn[s], mn[(s + 4) % 16]) for s in range(16)]
-            mn = [jnp.minimum(mn[s], d[(s + 8) % 16]) for s in range(16)]
-            mx9 = [jnp.maximum(d[s], d[(s + 1) % 16]) for s in range(16)]
-            mx9 = [jnp.maximum(mx9[s], mx9[(s + 2) % 16]) for s in range(16)]
-            mx9 = [jnp.maximum(mx9[s], mx9[(s + 4) % 16]) for s in range(16)]
-            mx9 = [jnp.maximum(mx9[s], d[(s + 8) % 16]) for s in range(16)]
+            mn, mx9 = _circ9_minmax(d)
             bright = mn[0]
             dark_mx = mx9[0]
             for s in range(1, 16):
@@ -147,25 +180,42 @@ def _make_packed_kernel(BH: int, BW: int, tree: bool = False):
                 n = score[dy:dy + BH, dx:dx + BW]
                 mx = n if mx is None else jnp.maximum(mx, n)
         center = score[1:1 + BH, 1:1 + BW]
-        score_ref[0] = center
-        keep_ref[0] = center >= mx
+        keep = center >= mx
+        if border:
+            h = h_ref[b]
+            w = w_ref[b]
+            y_abs = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 0) + r0
+            x_abs = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 1) + c0
+            keep = keep & ((y_abs >= border) & (y_abs < h - border)
+                           & (x_abs >= border) & (x_abs < w - border))
+            score_ref[0] = jnp.where(keep, center, 0.0)
+        else:
+            score_ref[0] = center
+            maybe_keep_ref[0][0] = keep
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("shapes", "BH", "BW", "tree", "interpret"))
+@partial(jax.jit, static_argnames=("shapes", "BH", "BW", "tree", "interpret",
+                                   "border"))
 def fast_score_nms_packed(stack, shapes: tuple, BH: int = 48, BW: int = 256,
-                          tree: bool = False, interpret: bool = False):
+                          tree: bool = False, interpret: bool = False,
+                          border: int = 0):
     """stack: [L, H, W] f32 level canvas (levels in the top-left corner,
-    true sizes in static `shapes`) -> (score [L, H, W], keep [L, H, W]).
+    true sizes in static `shapes`).
+
+    border=0: -> (score [L, H, W], keep [L, H, W]) — raw scores + NMS mask.
+    border>0: -> masked score [L, H, W] ONLY: non-maxima and pixels outside
+    each level's [border, h-border) x [border, w-border) interior are
+    zeroed in-kernel, so the detection tail needs no separate keep/border
+    passes and the bool canvas never exists.
 
     Packed grid: ONE 1-D grid enumerating only the row/col blocks that
     cover real level pixels (a scalar-prefetched block table), instead of
     a rectangular (L, H/BH) grid that spends ~55% of its blocks on canvas
     padding (levels shrink geometrically but the canvas does not). NMS is
     fused in-kernel via a 1-pixel score halo. Regions covered by no block
-    are NOT written — callers must mask by the true level shapes (
-    select_from_scores does, via its in_border mask)."""
+    are NOT written — callers must mask by the true level shapes."""
     from jax.experimental.pallas import tpu as pltpu
 
     L, H, W = stack.shape
@@ -182,36 +232,39 @@ def fast_score_nms_packed(stack, shapes: tuple, BH: int = 48, BW: int = 256,
                 r0s.append(r)
                 c0s.append(c)
     n_blocks = len(lvl)
+    hs = [shapes[l][0] for l in lvl]
+    ws = [shapes[l][1] for l in lvl]
     lvl = jnp.asarray(lvl, jnp.int32)
     r0s = jnp.asarray(r0s, jnp.int32)
     c0s = jnp.asarray(c0s, jnp.int32)
+    hs = jnp.asarray(hs, jnp.int32)
+    ws = jnp.asarray(ws, jnp.int32)
 
+    out_spec = pl.BlockSpec(
+        (1, BH, BW),
+        lambda b, lvl_r, r0_r, c0_r, h_r, w_r:
+            (lvl_r[b], r0_r[b] // BH, c0_r[b] // BW))
+    n_outs = 1 if border else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(
             (1, Hr + 8, Wr + 8),
-            lambda b, lvl_r, r0_r, c0_r: (lvl_r[b], 0, 0))],
-        out_specs=[
-            pl.BlockSpec(
-                (1, BH, BW),
-                lambda b, lvl_r, r0_r, c0_r:
-                    (lvl_r[b], r0_r[b] // BH, c0_r[b] // BW)),
-            pl.BlockSpec(
-                (1, BH, BW),
-                lambda b, lvl_r, r0_r, c0_r:
-                    (lvl_r[b], r0_r[b] // BH, c0_r[b] // BW)),
-        ],
+            lambda b, lvl_r, r0_r, c0_r, h_r, w_r: (lvl_r[b], 0, 0))],
+        out_specs=[out_spec] * n_outs,
     )
-    score, keep = pl.pallas_call(
-        _make_packed_kernel(BH, BW, tree=tree),
+    out_shape = [jax.ShapeDtypeStruct((L, Hr, Wr), jnp.float32)]
+    if not border:
+        out_shape.append(jax.ShapeDtypeStruct((L, Hr, Wr), jnp.bool_))
+    outs = pl.pallas_call(
+        _make_packed_kernel(BH, BW, tree=tree, border=border),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((L, Hr, Wr), jnp.float32),
-            jax.ShapeDtypeStruct((L, Hr, Wr), jnp.bool_),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
-    )(lvl, r0s, c0s, padded)
+    )(lvl, r0s, c0s, hs, ws, padded)
+    if border:
+        return outs[0][:, :H, :W]
+    score, keep = outs
     return score[:, :H, :W], keep[:, :H, :W]
 
 

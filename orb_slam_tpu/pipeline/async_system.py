@@ -199,6 +199,9 @@ class AsyncSLAMSystem(SLAMSystem):
                             self.map.kf_valid[cand]):
                         if lc.correct(self, slot, cand, S12):
                             self.n_loops_closed += 1
+                            # post-correction the loop area is covisible;
+                            # re-anchor the tracker's local map there
+                            self._refresh_local_mask(slot)
                 finally:
                     self._release_parked()
                     self._park_lock.release()

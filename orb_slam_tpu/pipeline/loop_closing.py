@@ -212,13 +212,23 @@ class LoopCloser:
         m = system.map
         P = m.pt_valid.shape[0]
         for cand in candidates:
-            # match features that have bound map points on both sides
+            # match features that have bound map points on both sides —
+            # reference SearchByBoW(KF,KF) semantics (ORBmatcher.cc:715-850):
+            # ONE-DIRECTIONAL best/second ratio 0.75 + rotation-consistency
+            # histogram (mOrientation=true at the call site,
+            # LoopClosing.cc:255). NOT mutual: the reference never
+            # cross-checks KF2->KF1, and requiring it here measurably
+            # halves the match yield on marginal loop seams (round 3 —
+            # the organic-loop seam match dropped to single digits where
+            # the reference's gate needs >=20)
             bound_cur = (m.kf_obs[new_kf] >= 0) & m.kf_feat_valid[new_kf]
             bound_cand = (m.kf_obs[cand] >= 0) & m.kf_feat_valid[cand]
             idx, dist, ok = match(
                 m.kf_desc[new_kf], m.kf_desc[cand],
                 valid_a=bound_cur, valid_b=bound_cand,
-                max_dist=TH_LOW, nn_ratio=0.75, mutual=True, unique=True,
+                angle_a=m.kf_angle[new_kf], angle_b=m.kf_angle[cand],
+                max_dist=TH_LOW, nn_ratio=0.75, mutual=False,
+                check_rotation=True, unique=True,
             )
             n_matches = int(jnp.sum(ok))
             self.debug_last = {"cand": cand, "matches": n_matches}

@@ -89,6 +89,14 @@ class SlamConfig:
     bow_slots: int = 0                # 0 = n_features (every word can be unique)
     min_reloc_inliers: int = 50       # reference: Tracking.cc:948-995
     use_motion_model: bool = True     # reference UseMotionModel setting
+    track_local_map: bool = True      # restrict tracking candidates to the
+                                      # covisibility-local map (the
+                                      # reference's TrackLocalMap semantics,
+                                      # Tracking.cc:728-839). False = match
+                                      # the whole map — implicitly closes
+                                      # small loops in the tracker, which
+                                      # starves explicit loop detection
+                                      # (covisibility.py::local_point_mask)
     track_chunk_size: int = 8         # frames per device dispatch in
                                       # process_batch (scan-chained tracking;
                                       # 1 = per-frame dispatch)
@@ -248,6 +256,9 @@ class SLAMSystem:
         # map (queued async keyframes, buffered counter deltas) are resolved
         # through it at integration time. -1 = id is dead with no successor.
         self.pt_forward = np.arange(self.cfg.map.max_points, dtype=np.int32)
+        # local-map candidate mask (UpdateReferencePoints, Tracking.cc:
+        # 728-839); None until the first keyframe anchors a local map
+        self.local_mask = None
 
     # --------------------------------------------------------------- frontend
 
@@ -337,7 +348,7 @@ class SLAMSystem:
             cfg = self.cfg
             cam = cfg.camera
 
-            def fn(imgs, consts, state, pose0, vel0):
+            def fn(imgs, consts, state, pose0, vel0, pt_mask):
                 gray = to_grayscale(imgs)
                 extract = _partial(_extract_stacked, config=cfg.orb,
                                    use_pallas=self.extractor.use_pallas)
@@ -353,7 +364,7 @@ class SLAMSystem:
                     xy_und = undistort_points(cam, f.xy)
                     carry, out = chunk_track_step(
                         state, xy_und, f.desc_u32, f.octave, f.valid,
-                        carry, self.K_dev,
+                        carry, self.K_dev, pt_mask,
                         p_local=cfg.p_local, width=cam.width,
                         height=cam.height, radius=cfg.track_radius,
                         scale_factor=cfg.map.scale_factor,
@@ -373,7 +384,8 @@ class SLAMSystem:
         gray_shape = shape[:2]
         return self._chunk_jit[key](
             jnp.asarray(batch), self.extractor.pyramid_consts(gray_shape),
-            self.map, jnp.asarray(self.last_pose), jnp.asarray(self.velocity))
+            self.map, jnp.asarray(self.last_pose), jnp.asarray(self.velocity),
+            self._track_mask())
 
     def _apply_chunk(self, feats, xy_und, chunk, n, ts_list):
         """Host-side replay of the chunk's per-frame results: trajectory,
@@ -612,6 +624,7 @@ class SLAMSystem:
         self.trajectory.append(
             (frame.frame_id, frame.timestamp, self.last_pose.copy()))
         self.state = WORKING
+        self._refresh_local_mask()
         self._setup_place_recognition(k1, k2, ref, frame)
         return True
 
@@ -648,6 +661,31 @@ class SLAMSystem:
 
     # ---------------------------------------------------------------- tracking
 
+    def _refresh_local_mask(self, ref_kf: int = None):
+        """Recompute the local-map candidate mask from the reference KF
+        (the last keyframe between keyframe events — the reference votes
+        per frame, Tracking.cc:752-757, but the covisible neighborhood of
+        the latest KF is the same set until the next map change)."""
+        if not self.cfg.track_local_map:
+            self.local_mask = None
+            return
+        ref = self.last_kf_slot if ref_kf is None else ref_kf
+        valid = np.asarray(self.map.kf_valid)
+        if ref is None or ref < 0 or not valid[ref]:
+            # reference was culled/ejected: newest surviving keyframe
+            live = np.where(valid)[0]
+            if len(live) == 0:
+                self.local_mask = None
+                return
+            ref = int(live[np.argmax(self.kf_order[live])])
+        from orb_slam_tpu.slam_map.covisibility import local_point_mask
+        self.local_mask = local_point_mask(self.map, jnp.int32(ref))
+
+    def _track_mask(self):
+        """Candidate mask for the tracker (pt_valid = unrestricted)."""
+        return (self.local_mask if self.local_mask is not None
+                else self.map.pt_valid)
+
     def _track(self, frame: FrameData):
         """Fused motion-model + local-map tracking (SURVEY.md §3.2)."""
         cfg = self.cfg
@@ -660,7 +698,7 @@ class SLAMSystem:
 
         res = track_frame(
             self.map, frame.xy, frame.desc, frame.octave, frame.valid,
-            jnp.asarray(T_pred), self.K_dev,
+            jnp.asarray(T_pred), self.K_dev, self._track_mask(),
             p_local=cfg.p_local,
             width=self.cfg.camera.width, height=self.cfg.camera.height,
             radius=cfg.track_radius,
@@ -696,7 +734,7 @@ class SLAMSystem:
             if int(n_rec) >= 10:
                 res = track_frame(
                     self.map, frame.xy, frame.desc, frame.octave,
-                    frame.valid, T_rec, self.K_dev,
+                    frame.valid, T_rec, self.K_dev, self._track_mask(),
                     p_local=cfg.p_local,
                     width=cfg.camera.width, height=cfg.camera.height,
                     radius=cfg.track_radius,
@@ -710,7 +748,7 @@ class SLAMSystem:
             # overshoot when the previous frame itself was weak)
             res = track_frame(
                 self.map, frame.xy, frame.desc, frame.octave, frame.valid,
-                jnp.asarray(self.last_pose), self.K_dev,
+                jnp.asarray(self.last_pose), self.K_dev, self._track_mask(),
                 p_local=cfg.p_local,
                 width=self.cfg.camera.width, height=self.cfg.camera.height,
                 radius=cfg.track_radius * 2.0,
@@ -839,6 +877,9 @@ class SLAMSystem:
         the KF's BoW in the database as a side effect)."""
         if self.loop_closer.process(self, slot):
             self.n_loops_closed += 1
+            # map deformed: the tracker re-anchors on the corrected local
+            # neighborhood (the reference's ForceRelocalisation analog)
+            self._refresh_local_mask(slot)
 
     def _relocalize(self, frame: FrameData) -> bool:
         """Relocalisation ladder (reference: Tracking::Relocalisation,
@@ -907,6 +948,9 @@ class SLAMSystem:
                 self.last_pose = np.asarray(res.pose)
                 self.velocity = np.eye(4, dtype=np.float32)
                 self.state = WORKING
+                # re-anchor the local map on the reloc keyframe's
+                # neighborhood (Tracking.cc:851-858)
+                self._refresh_local_mask(int(cand))
                 self.trajectory.append(
                     (frame.frame_id, frame.timestamp, self.last_pose.copy()))
                 return True
@@ -1097,6 +1141,8 @@ class SLAMSystem:
 
         self.map = refresh_point_stats(m, scale_factor=cfg.map.scale_factor,
                                        n_levels=cfg.map.n_levels)
+        self._refresh_local_mask(new_kf if bool(self.map.kf_valid[new_kf])
+                                 else None)
         self._publish_mapped_pose(new_kf)
 
     def _publish_mapped_pose(self, new_kf: int):

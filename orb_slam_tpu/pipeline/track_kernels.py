@@ -86,6 +86,7 @@ def _track_body(
     feat_valid,       # [N] bool
     T_pred,           # [4,4] predicted pose (motion model)
     K_mat,
+    pt_mask=None,     # [P] bool local-map membership (None = whole map)
     *,
     p_local: int = 4096,
     width: int = 640,
@@ -96,7 +97,12 @@ def _track_body(
     max_dist: int = TH_HIGH,
 ) -> TrackResult:
     """One fused tracking step. Returns optimized pose + feature->point
-    bindings for potential keyframe creation."""
+    bindings for potential keyframe creation.
+
+    pt_mask restricts candidates to the LOCAL MAP (covisibility-derived,
+    slam_map/covisibility.py::local_point_mask) — the reference's
+    TrackLocalMap semantics (Tracking.cc:728-839). None = match the whole
+    map (the raw-kernel benches and oracle fixtures)."""
     P = state.pt_valid.shape[0]
     N = feat_xy.shape[0]
 
@@ -104,6 +110,8 @@ def _track_body(
         state, T_pred, K_mat, width, height,
         scale_factor=scale_factor, n_levels=n_levels,
     )
+    if pt_mask is not None:
+        visible = visible & pt_mask
 
     # --- select up to p_local visible candidates (stable order by id) ---
     # NOTE: selection is a pure function of the map snapshot + pose: lowest
@@ -143,16 +151,35 @@ def _track_body(
     )
 
     # --- pose optimization over matches ---
-    muv = feat_xy[best_idx]
-    moct = feat_octave[best_idx]
-    inv_sigma2 = 1.0 / (scale_factor ** (2.0 * moct.astype(jnp.float32)))
-    # short GN schedule: each iteration is a sequentially-dependent small
-    # solve (latency-bound on TPU); with a motion-model init 4+3+2+2 rounds
-    # converge as well as the reference's 10+10+7+5 LM budget
-    T_opt, inlier, n_in = pose_optimize(
-        T_pred, state.pt_pos[sel], muv, inv_sigma2, matched, K_mat,
-        iters=(4, 3, 2, 2),
-    )
+    # Compact rows first: matches are one-to-one with features
+    # (unique=True), so at most N of the p_local candidate rows carry a
+    # correspondence. The GN chain is the latency-critical cost of the
+    # whole track body (measured 0.92 of 0.93 ms/frame, PERF.md round 3);
+    # gathering the matched rows into ceil(N/128)*128 slots cuts every
+    # one of its passes ~4x at p_local=4096.
+    n_c = min(-(-N // 128) * 128, p_local)
+    if n_c < p_local:
+        _, crow = jax.lax.top_k(matched.astype(jnp.float32), n_c)
+        c_idx = best_idx[crow]
+        muv = feat_xy[c_idx]
+        moct = feat_octave[c_idx]
+        inv_sigma2 = 1.0 / (scale_factor ** (2.0 * moct.astype(jnp.float32)))
+        T_opt, inl_c, n_in = pose_optimize(
+            T_pred, state.pt_pos[sel[crow]], muv, inv_sigma2,
+            matched[crow], K_mat, iters=(4, 3, 2, 2),
+        )
+        inlier = jnp.zeros(matched.shape, bool).at[crow].set(inl_c)
+    else:
+        muv = feat_xy[best_idx]
+        moct = feat_octave[best_idx]
+        inv_sigma2 = 1.0 / (scale_factor ** (2.0 * moct.astype(jnp.float32)))
+        # short GN schedule: each iteration is a sequentially-dependent
+        # small solve (latency-bound on TPU); with a motion-model init
+        # 4+3+2+2 rounds converge as well as the reference's 10+10+7+5
+        T_opt, inlier, n_in = pose_optimize(
+            T_pred, state.pt_pos[sel], muv, inv_sigma2, matched, K_mat,
+            iters=(4, 3, 2, 2),
+        )
 
     # --- bindings: feature -> point id for inlier matches ---
     obs = jnp.full((N,), -1, jnp.int32)
@@ -318,6 +345,7 @@ def _track_chunk_body(
     pose0,            # [4,4] pose of the frame BEFORE the chunk
     vel0,             # [4,4] motion-model velocity entering the chunk
     K_mat,
+    pt_mask=None,     # [P] bool local-map membership (None = whole map)
     *,
     p_local: int = 4096,
     width: int = 640,
@@ -349,7 +377,7 @@ def _track_chunk_body(
     def step(carry, fr):
         xy, desc, octv, val = fr
         return chunk_track_step(
-            state, xy, desc, octv, val, carry, K_mat,
+            state, xy, desc, octv, val, carry, K_mat, pt_mask,
             p_local=p_local, width=width, height=height, radius=radius,
             scale_factor=scale_factor, n_levels=n_levels,
             max_dist=max_dist, min_inliers=min_inliers,
@@ -361,7 +389,8 @@ def _track_chunk_body(
     return ChunkResult(poses, obs, n_in, n_m, vis)
 
 
-def chunk_track_step(state, xy, desc, octv, val, carry, K_mat, *,
+def chunk_track_step(state, xy, desc, octv, val, carry, K_mat,
+                     pt_mask=None, *,
                      p_local, width, height, radius, max_dist,
                      min_inliers, use_motion_model, retry=True,
                      scale_factor=1.2, n_levels=8):
@@ -378,7 +407,7 @@ def chunk_track_step(state, xy, desc, octv, val, carry, K_mat, *,
     pose, vel = carry
     T_pred = (vel @ pose) if use_motion_model else pose
     res = _track_body(
-        state, xy, desc, octv, val, T_pred, K_mat,
+        state, xy, desc, octv, val, T_pred, K_mat, pt_mask,
         p_local=p_local, width=width, height=height,
         radius=radius, scale_factor=scale_factor, n_levels=n_levels,
         max_dist=max_dist,
@@ -387,7 +416,7 @@ def chunk_track_step(state, xy, desc, octv, val, carry, K_mat, *,
     if retry:
         def _retry(_):
             return _track_body(
-                state, xy, desc, octv, val, pose, K_mat,
+                state, xy, desc, octv, val, pose, K_mat, pt_mask,
                 p_local=p_local, width=width, height=height,
                 radius=radius * 2.0, scale_factor=scale_factor,
                 n_levels=n_levels, max_dist=max_dist,

@@ -14,7 +14,19 @@ _CACHE = {}
 DATA_DIR = os.path.join(os.path.dirname(__file__), "..", "data")
 
 
-def load_pretrained(name: str = "vocab_k10L4.npz"):
+def load_pretrained(name: str = None):
+    """Default: the largest shipped vocabulary (the reference defaults to
+    its ~1M-word ORBvoc, main.cc:94-108; we ship a ~1e5-word k=10 L=5
+    tree trained on a varied rendered corpus, falling back to the compact
+    k=10 L=4 artifact)."""
+    if name is None:
+        for cand in ("vocab_k10L5.npz", "vocab_k10L4.npz"):
+            if os.path.exists(os.path.normpath(
+                    os.path.join(DATA_DIR, cand))):
+                name = cand
+                break
+        else:
+            return None
     if name in _CACHE:
         return _CACHE[name]
     path = os.path.normpath(os.path.join(DATA_DIR, name))

@@ -53,6 +53,37 @@ def observation_counts(state: MapState, A=None):
     return jnp.sum(A, axis=0).astype(jnp.int32)
 
 
+@fused_jit
+def local_point_mask(state: MapState, ref_kf):
+    """[P] bool: the LOCAL MAP's point set, seen from reference keyframe
+    `ref_kf` — the reference's UpdateReferenceKeyFrames/Points
+    (src/Tracking.cc:728-839): K1 = keyframes covisible with the reference
+    (+ itself), K2 = K1's covisible neighbors; local points = all points
+    observed by K1 u K2.
+
+    Restricting the tracker's candidate pool to this set is a REFERENCE
+    SEMANTIC, not just a cost bound: matching against the whole map lets
+    the tracker silently bind points from a previous pass of the same
+    place whenever drift is small, which makes the revisited keyframes
+    covisible and therefore permanently EXCLUDED from loop-candidate
+    retrieval (KeyFrameDatabase.cc:92-101 excludes connected KFs) — the
+    explicit Sim3 loop closure can then never fire (round-3 finding: the
+    organic-loop seam bound implicitly and DetectLoop starved). The
+    reference's ~80-KF cap is a CPU cost bound and is not needed here
+    (fixed shapes; the p_local pool caps the candidate count)."""
+    W = covisibility_weights(state)
+    K = W.shape[0]
+    k1 = ((W[ref_kf] > 0) & state.kf_valid) | (
+        jnp.arange(K) == ref_kf)
+    k2 = ((W @ k1.astype(jnp.int32)) > 0) & state.kf_valid
+    kf_mask = k1 | k2
+    obs = state.kf_obs
+    P = state.pt_valid.shape[0]
+    ids = jnp.where(kf_mask[:, None] & (obs >= 0), obs, P)
+    mask = jnp.zeros(P + 1, bool).at[ids.reshape(-1)].set(True)[:P]
+    return mask & state.pt_valid
+
+
 def best_covisible(W, slot, k: int):
     """Top-k covisible KF slots of `slot` by weight (threshold 0 excluded).
     Replaces GetBestCovisibilityKeyFrames (KeyFrame.cc:177-190).

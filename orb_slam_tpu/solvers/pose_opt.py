@@ -98,8 +98,18 @@ def solve6_cholesky(H, b):
 
 def _gn_rounds(T0, points, uv, inv_sigma2, valid, K, damping=1e-3,
                iters=ROUND_ITERS):
+    """4 chi2-gated rounds of damped GN (rolled fori_loop per round).
+
+    This is the NON-TPU path: on TPU the whole chain runs as one Pallas
+    kernel (pose_opt_pallas.py) with the re-gates folded into the next
+    round's first residual pass and the normal equations built from one
+    MXU matmul over the augmented [J | r] system; verified equivalent to
+    this structure to f32 rounding. Here the rounds stay ROLLED — a fully
+    unrolled 32-iteration chain produced XLA:CPU compiles large enough to
+    crash the backend late in a long test session (round 3)."""
     T = T0
     inlier = valid
+    delta = jnp.sqrt(HUBER_DELTA2)
     for rnd in range(4):
         chi2_th = ROUND_CHI2[rnd]
 
@@ -108,13 +118,12 @@ def _gn_rounds(T0, points, uv, inv_sigma2, valid, K, damping=1e-3,
             chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
             # Huber IRLS weight on the sigma-normalized error
             e = jnp.sqrt(jnp.maximum(chi2, 1e-12))
-            delta = jnp.sqrt(HUBER_DELTA2)
             w_huber = jnp.where(e <= delta, 1.0, delta / e)
             w = inv_sigma2 * w_huber * inlier.astype(r.dtype) * (z > 0)
-            Jw = J * w[:, None, None]
-            H = jnp.einsum("nki,nkj->ij", Jw, J)
-            b = jnp.einsum("nki,nk->i", Jw, r)
-            H = H + damping * jnp.eye(6, dtype=H.dtype)
+            A = jnp.concatenate([J, r[:, :, None]], axis=-1)  # [N,2,7]
+            S = jnp.einsum("nki,nkj->ij", A * w[:, None, None], A)
+            H = S[:6, :6] + damping * jnp.eye(6, dtype=S.dtype)
+            b = S[:6, 6]
             dx = solve6_cholesky(H, -b)
             ok = jnp.all(jnp.isfinite(dx))
             dx = jnp.where(ok, dx, 0.0)
@@ -159,7 +168,16 @@ def pose_optimize(T_cw0, points, uv, inv_sigma2, valid, K,
     schedule — the default matches the reference's (10,10,7,5) LM budget;
     latency-critical callers (per-frame tracking) use a shorter schedule
     since GN with a motion-model init converges in a few steps.
-    Returns (T_cw [4,4], inlier [N] bool, n_inliers i32)."""
+    Returns (T_cw [4,4], inlier [N] bool, n_inliers i32).
+
+    On TPU backends the whole chain runs as ONE Pallas kernel
+    (solvers/pose_opt_pallas.py — the XLA op chain is latency-bound;
+    agreement verified to ~3e-7, tests/test_solvers.py); elsewhere the
+    XLA unrolled chain below."""
+    if jax.default_backend() == "tpu":
+        from orb_slam_tpu.solvers.pose_opt_pallas import pose_optimize_pallas
+        return pose_optimize_pallas(T_cw0, points, uv, inv_sigma2, valid,
+                                    K, iters=iters)
     T, inlier = _gn_rounds(T_cw0, points, uv, inv_sigma2, valid, K,
                            iters=iters)
     return T, inlier, jnp.sum(inlier)

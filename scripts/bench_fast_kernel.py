@@ -62,9 +62,8 @@ def main():
         print(f"{tag:36s} {ms:7.3f} ms/frame", file=sys.stderr)
         return ms
 
-    for BH, BW in ((48, 256), (96, 256), (48, 384)):
-        slope(partial(fast_score_nms_packed, shapes=shapes, BH=BH, BW=BW),
-              f"packed fused NMS BH={BH} BW={BW}")
+    for BH, BW in ((48, 256), (32, 256), (64, 256), (48, 128), (32, 128),
+                   (24, 512), (48, 512), (40, 320)):
         slope(partial(fast_score_nms_packed, shapes=shapes, BH=BH, BW=BW,
                       tree=True),
               f"packed TREE      BH={BH} BW={BW}")

@@ -207,3 +207,41 @@ class TestMatching:
                               unique=True)
         ok = np.asarray(ok)
         assert ok[0] and not ok[1]
+
+
+class TestPosePallasParity:
+    def test_pallas_chain_matches_xla(self, rng):
+        """The TPU Pallas pose-GN kernel (pose_opt_pallas.py) must agree
+        with the XLA _gn_rounds chain (interpret mode; ~3e-7 on CPU, ~1e-3
+        on real hardware from Mosaic accumulation order)."""
+        from orb_slam_tpu.solvers.pose_opt import _gn_rounds
+        from orb_slam_tpu.solvers.pose_opt_pallas import pose_optimize_pallas
+
+        N = 300
+        pts = np.stack([rng.uniform(-3, 3, N), rng.uniform(-2, 2, N),
+                        rng.uniform(4, 10, N)], 1).astype(np.float32)
+        K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]],
+                     np.float32)
+        T_true = np.eye(4, dtype=np.float32)
+        T_true[:3, 3] = [0.1, -0.05, 0.02]
+        pc = pts @ T_true[:3, :3].T + T_true[:3, 3]
+        uv = (pc[:, :2] / pc[:, 2:3]) * 500.0 + [320, 240] + \
+            rng.normal(0, 1.0, (N, 2))
+        uv[::7] += rng.normal(0, 40, uv[::7].shape)  # outliers
+        valid = rng.random(N) > 0.1
+        inv_s2 = (1.0 / 1.2 ** (2 * rng.integers(0, 8, N))).astype(
+            np.float32)
+        T0 = jnp.eye(4)
+        for it in [(4, 3, 2, 2), (10, 10, 7, 5)]:
+            Ta, ia = _gn_rounds(T0, jnp.asarray(pts), jnp.asarray(uv),
+                                jnp.asarray(inv_s2), jnp.asarray(valid),
+                                jnp.asarray(K), iters=it)
+            Tb, ib, nb = pose_optimize_pallas(
+                T0, jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(inv_s2),
+                jnp.asarray(valid), jnp.asarray(K), iters=it,
+                interpret=True)
+            np.testing.assert_allclose(np.asarray(Ta), np.asarray(Tb),
+                                       atol=1e-4)
+            assert int(jnp.sum(ia != ib)) <= max(2, int(0.01 * N))
+            assert int(nb) == int(ia.sum()) or \
+                abs(int(nb) - int(ia.sum())) <= 2
