@@ -14,3 +14,14 @@ Architecture (TPU-first, not a translation):
 """
 
 __version__ = "0.1.0"
+
+# f32 matmuls at FULL f32 accuracy: TPU's DEFAULT f32 dot is a single
+# bf16 pass (~4e-3 relative error), which measurably degrades the
+# geometry solvers (BA normal equations drifted poses by ~4e-2 vs the
+# CPU reference before this, round 3). The throughput-critical kernels
+# are unaffected — they use EXPLICIT bf16/int8 operands by design
+# (pyramid resize, patch gathers, Hamming, descriptor LUT), and the
+# Pallas kernels don't consult this flag. No-op on CPU backends.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -62,6 +62,11 @@ def cmd_run(args):
         system = SLAMSystem(cfg)
     ds = PrefetchIterator(open_dataset(args.dataset))
 
+    def _frame_path(viz_out):
+        import os as _os
+        root, ext = _os.path.splitext(viz_out or "viz.png")
+        return f"{root}_frame{ext or '.png'}"
+
     def _progress(n, t0):
         dt = time.perf_counter() - t0
         print(
@@ -77,6 +82,7 @@ def cmd_run(args):
         # ONE device program per chunk (see SLAMSystem.process_batch);
         # results match the per-frame path exactly
         buf_img, buf_ts = [], []
+        last_img = [None]
 
         def _drain():
             nonlocal n
@@ -85,13 +91,16 @@ def cmd_run(args):
             system.process_batch(buf_img, timestamps=buf_ts,
                                  chunk_size=args.chunk)
             n += len(buf_img)
+            last_img[0] = buf_img[-1]
             buf_img.clear()
             buf_ts.clear()
             _progress(n, t0)
             if args.viz_every and (n // args.chunk) % max(
                     1, args.viz_every // args.chunk) == 0:
-                from orb_slam_tpu.io.viz import draw_map
+                from orb_slam_tpu.io.viz import draw_map, draw_live_frame
                 draw_map(system, args.viz_out)
+                draw_live_frame(system, last_img[0],
+                                _frame_path(args.viz_out))
 
         for ts, img in ds:
             buf_img.append(img)
@@ -108,8 +117,9 @@ def cmd_run(args):
             if n % 30 == 0:
                 _progress(n, t0)
             if args.viz_every and n % args.viz_every == 0:
-                from orb_slam_tpu.io.viz import draw_map
+                from orb_slam_tpu.io.viz import draw_map, draw_live_frame
                 draw_map(system, args.viz_out)
+                draw_live_frame(system, img, _frame_path(args.viz_out))
             if args.max_frames and n >= args.max_frames:
                 break
 

@@ -106,3 +106,35 @@ def draw_map(system, path: str | None = None, show_covisibility=True,
         fig.savefig(path, dpi=120, bbox_inches="tight")
         plt.close(fig)
     return fig
+
+
+def draw_live_frame(system, img, path: str | None = None):
+    """Frame overlay from the system's last tracked frame (the
+    FramePublisher continuous-publish equivalent, FramePublisher.cc:40):
+    keypoints colored by map-binding, status bar with state/KF/point/
+    tracked counts. Returns the RGB array; writes a PNG when `path`."""
+    import numpy as np
+    from orb_slam_tpu.pipeline.system import STATE_NAMES
+
+    pf = getattr(system, "_prev_frame", None)
+    if pf is None:
+        xy = np.zeros((0, 2), np.float32)
+        tracked = np.zeros((0,), bool)
+        n_tracked = 0
+    else:
+        frame, obs = pf
+        valid = np.asarray(frame.valid)
+        xy = np.asarray(frame.xy)[valid]
+        tracked = (np.asarray(obs) >= 0)[valid]
+        n_tracked = int(tracked.sum())
+    rgb = draw_frame(
+        np.asarray(img), xy, tracked, STATE_NAMES[system.state],
+        system.n_keyframes, system.n_points, n_tracked)
+    if path:
+        try:
+            from PIL import Image
+
+            Image.fromarray(rgb).save(path)
+        except ImportError:
+            pass
+    return rgb

@@ -162,25 +162,47 @@ def _solve_iteration(kf_pose, pt_pos, edge_w, obs_kf, uv,
         kf_idx = jnp.where((w > 0) & cam_is_opt, local_id[obs_kf_safe], Kl)
     else:
         kf_idx = jnp.where(w > 0, obs_kf, Kk)
-    Hcc = jnp.zeros((Kl + 1, 6, 6))
-    bc = jnp.zeros((Kl + 1, 6))
-    Hcc = Hcc.at[kf_idx].add(jnp.einsum("pokx,poky->poxy", wJc, Jc))
-    bc = bc.at[kf_idx].add(jnp.einsum("pokx,pok->pox", wJc, r))
 
     # Schur: C[p,o] = Jc^T W Jp ; D = C @ L ; S -= D_o D_o'^T
     C = jnp.einsum("pokx,poky->poxy", wJc, Jp)  # [P,O,6,3]
     C = C * pt_opt[:, None, None, None]
     D = jnp.einsum("poxy,pyz->poxz", C, L)      # [P,O,6,3]
-
-    S = jnp.zeros((Kl + 1, Kl + 1, 6, 6))
-    for o2 in range(O):
-        V = jnp.einsum("poxz,pyz->poxy", D, D[:, o2])  # [P,O,6,6]
-        cols = jnp.broadcast_to(kf_idx[:, o2 : o2 + 1], kf_idx.shape)
-        S = S.at[kf_idx, cols].add(-V)
-    # reduced rhs: bc_red = bc - sum_o C Hpp^-1 bp
     Hib = jnp.einsum("pxy,py->px", Hpp_inv, bp)  # [P,3]
     bred_contrib = jnp.einsum("poxy,py->pox", C, Hib)
-    bc = bc.at[kf_idx].add(-bred_contrib)
+
+    if jax.default_backend() == "tpu":
+        # MXU assembly of the reduced camera system. TPU scatter-add is
+        # serialized enough that the O^2 Schur accumulation measured
+        # 1.6 s/iteration at production shapes (P=16k, O=32, Kl=80,
+        # scripts/profile_ba.py); the same sums as one-hot segment
+        # matmuls cost ~10-100 ms. Precision.HIGHEST keeps the f32
+        # operands effectively exact through the MXU (single-pass-bf16
+        # rounding of the normal equations measurably degraded BA
+        # convergence: ~4e-2 pose drift vs the scatter path; HIGHEST
+        # brings it to ~1e-3 at ~6x the matmul cost — still two orders
+        # under the scatter). The CPU path below keeps the exact f32
+        # scatters (tests are CPU; bit-stable round-2 behavior).
+        hi = jax.lax.Precision.HIGHEST
+        E = jax.nn.one_hot(kf_idx, Kl + 1, dtype=jnp.float32)  # [P,O,Kl+1]
+        JcJc = jnp.einsum("pokx,poky->poxy", wJc, Jc)
+        Hcc = jnp.einsum("poa,poxy->axy", E, JcJc, precision=hi)
+        bc_e = jnp.einsum("pokx,pok->pox", wJc, r)
+        bc = jnp.einsum("poa,pox->ax", E, bc_e - bred_contrib, precision=hi)
+        G = jnp.einsum("poa,poxz->paxz", E, D, precision=hi)
+        S = -jnp.einsum("paxz,pbyz->abxy", G, G, precision=hi)
+    else:
+        Hcc = jnp.zeros((Kl + 1, 6, 6))
+        bc = jnp.zeros((Kl + 1, 6))
+        Hcc = Hcc.at[kf_idx].add(jnp.einsum("pokx,poky->poxy", wJc, Jc))
+        bc = bc.at[kf_idx].add(jnp.einsum("pokx,pok->pox", wJc, r))
+
+        S = jnp.zeros((Kl + 1, Kl + 1, 6, 6))
+        for o2 in range(O):
+            V = jnp.einsum("poxz,pyz->poxy", D, D[:, o2])  # [P,O,6,6]
+            cols = jnp.broadcast_to(kf_idx[:, o2 : o2 + 1], kf_idx.shape)
+            S = S.at[kf_idx, cols].add(-V)
+        # reduced rhs: bc_red = bc - sum_o C Hpp^-1 bp
+        bc = bc.at[kf_idx].add(-bred_contrib)
 
     if axis_name is not None:
         # >>> the collective: reduce partial normal equations over shards
@@ -331,12 +353,18 @@ def _ba_inputs(state: MapState, pt_opt, scale_factor: float = 1.2):
                                      "scale_factor"))
 def _bundle_adjust_single(state, K_mat, cam_opt, pt_opt, iters1, iters2,
                           damping, Kl=None, scale_factor=1.2):
-    obs_kf, obs_feat, obs_valid, uv, inv_sigma2, edge_on = _ba_inputs(
-        state, pt_opt, scale_factor)
-    kf_pose, pt_pos, edge_in = _ba_core(
-        state.kf_pose, state.pt_pos, obs_kf, uv, inv_sigma2, edge_on,
-        cam_opt, pt_opt, K_mat, iters1=iters1, iters2=iters2,
-        damping=damping, Kl=Kl)
+    # HIGHEST matmul precision throughout: TPU's DEFAULT f32 dot is a
+    # single bf16 pass (~4e-3 relative), which measurably degrades the
+    # normal equations and the recovered poses (~4e-2 pose drift vs the
+    # CPU solver, round 3); HIGHEST restores f32-grade accuracy at
+    # negligible cost for BA's small einsums.
+    with jax.default_matmul_precision("highest"):
+        obs_kf, obs_feat, obs_valid, uv, inv_sigma2, edge_on = _ba_inputs(
+            state, pt_opt, scale_factor)
+        kf_pose, pt_pos, edge_in = _ba_core(
+            state.kf_pose, state.pt_pos, obs_kf, uv, inv_sigma2, edge_on,
+            cam_opt, pt_opt, K_mat, iters1=iters1, iters2=iters2,
+            damping=damping, Kl=Kl)
     outlier = obs_valid & pt_opt[:, None] & ~edge_in
     new_state = state._replace(kf_pose=kf_pose, pt_pos=pt_pos)
     return new_state, outlier, (obs_kf, obs_feat)
@@ -378,11 +406,12 @@ def _bundle_adjust_sharded(mesh, iters1, iters2, Kl=None,
 
     @partial(fused_jit)
     def run(state, K_mat, cam_opt, pt_opt, damping):
-        obs_kf, obs_feat, obs_valid, uv, inv_sigma2, edge_on = _ba_inputs(
-            state, pt_opt, scale_factor)
-        kf_pose, pt_pos, edge_in = sharded(
-            state.kf_pose, state.pt_pos, obs_kf, uv, inv_sigma2, edge_on,
-            cam_opt, pt_opt, K_mat, jnp.float32(damping))
+        with jax.default_matmul_precision("highest"):  # see single-device
+            obs_kf, obs_feat, obs_valid, uv, inv_sigma2, edge_on = \
+                _ba_inputs(state, pt_opt, scale_factor)
+            kf_pose, pt_pos, edge_in = sharded(
+                state.kf_pose, state.pt_pos, obs_kf, uv, inv_sigma2,
+                edge_on, cam_opt, pt_opt, K_mat, jnp.float32(damping))
         outlier = obs_valid & pt_opt[:, None] & ~edge_in
         new_state = state._replace(kf_pose=kf_pose, pt_pos=pt_pos)
         return new_state, outlier, (obs_kf, obs_feat)

@@ -26,8 +26,29 @@ import jax  # noqa: E402
 # var above. Re-override via config so ALL test computation runs on local CPU.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite compiles hundreds of programs on a
+# 1-core host; repeat runs hit the cache. Also keeps the async tests'
+# BACKGROUND mapper thread from spending minutes in first-compiles while
+# keyframes queue up (tracking would starve against a stale map).
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_memory():
+    """Free compiled executables between test modules.
+
+    A full-suite session accumulates hundreds of live XLA:CPU executables;
+    past a threshold the NEXT LLVM JIT compile (or cache deserialization)
+    segfaults inside the backend — reproduced deterministically at the
+    same cumulative point across four round-3 suite runs, while every
+    module passes standalone. Clearing per module keeps live JIT code
+    bounded; the persistent cache (above) makes the re-compiles cheap."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture

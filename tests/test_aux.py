@@ -75,6 +75,17 @@ class TestViz:
         out = draw_frame(img, xy, mask, "WORKING", 5, 100, 50)
         assert out.shape == (138, 160, 3)
 
+    def test_draw_live_frame(self, tracked_system, tmp_path):
+        from orb_slam_tpu.io.viz import draw_live_frame
+        sys_, scene, poses = tracked_system
+        img = np.zeros((sys_.cfg.camera.height, sys_.cfg.camera.width),
+                       np.float32)
+        p = str(tmp_path / "frame.png")
+        out = draw_live_frame(sys_, img, p)
+        assert out.shape[0] == sys_.cfg.camera.height + 18
+        import os
+        assert os.path.getsize(p) > 200
+
 
 class TestNativeVocabParser:
     def test_matches_python_parser(self, rng, tmp_path):
