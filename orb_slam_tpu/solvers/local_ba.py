@@ -82,6 +82,55 @@ def _edge_terms(kf_pose, pt_pos, obs_kf, uv, K_mat):
     return r, Jc, Jp, z
 
 
+def _inv3x3(A):
+    """Batched closed-form 3x3 inverse (adjugate / det). jnp.linalg.inv
+    lowers to generic batched LU, which is slow on TPU for tiny blocks
+    (~27 ms at P=16k, scripts/profile_ba.py); the cofactor formula is a
+    handful of fused VPU ops."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    C00 = e * i - f * h
+    C01 = c * h - b * i
+    C02 = b * f - c * e
+    C10 = f * g - d * i
+    C11 = a * i - c * g
+    C12 = c * d - a * f
+    C20 = d * h - e * g
+    C21 = b * g - a * h
+    C22 = a * e - b * d
+    det = a * C00 + b * C10 + c * C20
+    idet = 1.0 / jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+    rows = [
+        jnp.stack([C00, C01, C02], -1),
+        jnp.stack([C10, C11, C12], -1),
+        jnp.stack([C20, C21, C22], -1),
+    ]
+    return jnp.stack(rows, -2) * idet[..., None, None]
+
+
+def _chol3x3(A):
+    """Batched closed-form lower Cholesky of (symmetrized) 3x3 SPD blocks
+    with clamped pivots (mirrors the jnp.linalg.cholesky + isfinite-zero
+    guard of the generic path)."""
+    a00 = jnp.maximum(A[..., 0, 0], 1e-18)
+    l00 = jnp.sqrt(a00)
+    l10 = A[..., 1, 0] / l00
+    l20 = A[..., 2, 0] / l00
+    d11 = jnp.maximum(A[..., 1, 1] - l10 * l10, 1e-18)
+    l11 = jnp.sqrt(d11)
+    l21 = (A[..., 2, 1] - l20 * l10) / l11
+    d22 = jnp.maximum(A[..., 2, 2] - l20 * l20 - l21 * l21, 1e-18)
+    l22 = jnp.sqrt(d22)
+    z = jnp.zeros_like(l00)
+    L = jnp.stack([
+        jnp.stack([l00, z, z], -1),
+        jnp.stack([l10, l11, z], -1),
+        jnp.stack([l20, l21, l22], -1),
+    ], -2)
+    return jnp.where(jnp.isfinite(L), L, 0.0)
+
+
 def _camera_compaction(cam_opt, Kl: int):
     """Compact camera index space: the Schur/reduced system only needs
     slots for OPTIMIZED cameras (fixed cameras have zero camera Jacobian
@@ -106,9 +155,12 @@ def _camera_compaction(cam_opt, Kl: int):
 
 def _solve_iteration(kf_pose, pt_pos, edge_w, obs_kf, uv,
                      K_mat, cam_opt, pt_opt, damping, axis_name=None,
-                     Kl: int | None = None):
+                     Kl: int | None = None, terms=None):
     """One Gauss-Newton step. edge_w: [P,O] weights (0 = excluded edge,
     else information * Huber). Returns (new kf_pose, new pt_pos).
+    terms: optional precomputed _edge_terms(kf_pose, pt_pos, ...) —
+    callers that already evaluated residuals at this state (for weights /
+    cost) pass them in to avoid a redundant edge pass.
 
     Kl: static bound on the number of optimized cameras (the compact
     Schur space, see _camera_compaction). None = full capacity.
@@ -130,7 +182,9 @@ def _solve_iteration(kf_pose, pt_pos, edge_w, obs_kf, uv,
         local_id, opt_cams, slot_used = _camera_compaction(cam_opt, Kl)
     else:
         Kl = Kk
-    r, Jc, Jp, z = _edge_terms(kf_pose, pt_pos, obs_kf, uv, K_mat)
+    if terms is None:
+        terms = _edge_terms(kf_pose, pt_pos, obs_kf, uv, K_mat)
+    r, Jc, Jp, z = terms
     w = edge_w * (z > 0)
     # zero camera Jacobians of fixed cameras (they still constrain points)
     obs_kf_safe = jnp.clip(obs_kf, 0, Kk - 1)
@@ -148,12 +202,19 @@ def _solve_iteration(kf_pose, pt_pos, edge_w, obs_kf, uv,
     # contribute no Schur term (their C entries are zeroed below)
     Hpp = jnp.where(pt_opt[:, None, None], Hpp, jnp.broadcast_to(jnp.eye(3), Hpp.shape))
     bp = jnp.where(pt_opt[:, None], bp, 0.0)
-    Hpp_inv = jnp.linalg.inv(Hpp)
-    L = jnp.linalg.cholesky(
-        0.5 * (Hpp_inv + jnp.swapaxes(Hpp_inv, -1, -2))
-        + 1e-12 * jnp.broadcast_to(jnp.eye(3), Hpp.shape)
-    )
-    L = jnp.where(jnp.isfinite(L), L, 0.0)
+    if jax.default_backend() == "tpu":
+        # closed-form tiny-block linalg (generic batched LU/cholesky
+        # lowerings are slow on TPU; see _inv3x3/_chol3x3)
+        Hpp_inv = _inv3x3(Hpp)
+        L = _chol3x3(0.5 * (Hpp_inv + jnp.swapaxes(Hpp_inv, -1, -2))
+                     + 1e-12 * jnp.broadcast_to(jnp.eye(3), Hpp.shape))
+    else:
+        Hpp_inv = jnp.linalg.inv(Hpp)
+        L = jnp.linalg.cholesky(
+            0.5 * (Hpp_inv + jnp.swapaxes(Hpp_inv, -1, -2))
+            + 1e-12 * jnp.broadcast_to(jnp.eye(3), Hpp.shape)
+        )
+        L = jnp.where(jnp.isfinite(L), L, 0.0)
 
     # camera blocks and rhs, in the COMPACT space (dump slot Kl for dead
     # edges and edges to fixed/overflow cameras); legacy: full capacity,
@@ -284,13 +345,16 @@ def _ba_core(kf_pose, pt_pos, obs_kf, uv, inv_sigma2, edge_on,
     def psum(x):
         return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
-    def robust_cost(kf_pose, pt_pos, edge_on):
-        """Total Huber cost over active edges (the LM acceptance metric)."""
-        chi2, z = _edge_chi2(kf_pose, pt_pos, obs_kf, uv, K_mat, inv_sigma2)
+    def robust_from_chi2(chi2, z, edge_on):
         e = jnp.sqrt(jnp.maximum(chi2, 1e-12))
         rho = jnp.where(e <= HUBER_DELTA, chi2,
                         2.0 * HUBER_DELTA * e - HUBER_DELTA ** 2)
         return psum(jnp.sum(rho * (edge_on & (z > 0))))
+
+    def robust_cost(kf_pose, pt_pos, edge_on):
+        """Total Huber cost over active edges (the LM acceptance metric)."""
+        chi2, z = _edge_chi2(kf_pose, pt_pos, obs_kf, uv, K_mat, inv_sigma2)
+        return robust_from_chi2(chi2, z, edge_on)
 
     def phase(carry, n_iters, gate_chi2):
         # adaptive-lambda Levenberg-Marquardt (the reference's g2o
@@ -304,15 +368,21 @@ def _ba_core(kf_pose, pt_pos, obs_kf, uv, inv_sigma2, edge_on,
 
         def step(_, c):
             kf_pose, pt_pos, lam = c
-            chi2, z = _edge_chi2(kf_pose, pt_pos, obs_kf, uv, K_mat,
-                                 inv_sigma2)
+            # ONE edge pass serves the IRLS weights, the acceptance
+            # reference cost AND the solve's residuals/Jacobians (the
+            # terms at (kf_pose, pt_pos) are identical in all three —
+            # previously computed 3x per iteration)
+            terms = _edge_terms(kf_pose, pt_pos, obs_kf, uv, K_mat)
+            r, _, _, z = terms
+            chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2
             e = jnp.sqrt(jnp.maximum(chi2, 1e-12))
             w_huber = jnp.where(e <= HUBER_DELTA, 1.0, HUBER_DELTA / e)
             w = inv_sigma2 * w_huber * edge_on * (z > 0)
             new_pose, new_pts = _solve_iteration(
                 kf_pose, pt_pos, w, obs_kf, uv,
-                K_mat, cam_opt, pt_opt, lam, axis_name=axis_name, Kl=Kl)
-            cost0 = robust_cost(kf_pose, pt_pos, edge_on)
+                K_mat, cam_opt, pt_opt, lam, axis_name=axis_name, Kl=Kl,
+                terms=terms)
+            cost0 = robust_from_chi2(chi2, z, edge_on)
             cost1 = robust_cost(new_pose, new_pts, edge_on)
             accept = cost1 < cost0
             kf_pose = jnp.where(accept, new_pose, kf_pose)
