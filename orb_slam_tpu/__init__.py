@@ -15,13 +15,15 @@ Architecture (TPU-first, not a translation):
 
 __version__ = "0.1.0"
 
-# f32 matmuls at FULL f32 accuracy: TPU's DEFAULT f32 dot is a single
+# Matmul precision policy (round 4): TPU's DEFAULT f32 dot is a single
 # bf16 pass (~4e-3 relative error), which measurably degrades the
-# geometry solvers (BA normal equations drifted poses by ~4e-2 vs the
-# CPU reference before this, round 3). The throughput-critical kernels
-# are unaffected — they use EXPLICIT bf16/int8 operands by design
-# (pyramid resize, patch gathers, Hamming, descriptor LUT), and the
-# Pallas kernels don't consult this flag. No-op on CPU backends.
-import jax as _jax
-
-_jax.config.update("jax_default_matmul_precision", "highest")
+# GEOMETRY SOLVERS (BA normal equations drifted converged poses by
+# ~4e-2 vs the CPU reference, round 3). Rather than a package-wide
+# jax_default_matmul_precision=highest (which also taxed the hot
+# extraction/tracking chunk — ~10 fps at the 500 fps gate, PERF.md),
+# every solver whose OUTPUT is a pose/point/Sim3 estimate scopes the
+# flag itself: utils.dispatch.precise_jit (pose_opt, two_view, epnp,
+# sim3, essential_graph, triangulation) and the explicit scopes inside
+# solvers/local_ba.py. The throughput kernels use explicit bf16/int8
+# operands by design (pyramid resize, patch gathers, Hamming,
+# descriptor LUT) and the Pallas kernels never consult the flag.

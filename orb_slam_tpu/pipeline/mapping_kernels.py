@@ -21,7 +21,7 @@ from orb_slam_tpu.geometry.triangulation import triangulate_dlt
 from orb_slam_tpu.ops.matching import match, TH_LOW, TH_HIGH
 from orb_slam_tpu.slam_map.map_state import MapState
 from orb_slam_tpu.slam_map.observations import observation_table
-from orb_slam_tpu.utils.dispatch import fused_jit
+from orb_slam_tpu.utils.dispatch import fused_jit, precise_jit
 
 CHI2_2D = 5.991
 
@@ -46,7 +46,7 @@ class TriangulationCandidates(NamedTuple):
     valid: jnp.ndarray     # [N] bool
 
 
-@partial(fused_jit, static_argnames=("scale_factor",))
+@partial(precise_jit, static_argnames=("scale_factor",))
 def triangulate_new_points(
     state: MapState, kf_a, kf_b, K_mat, scale_factor: float = 1.2
 ) -> TriangulationCandidates:

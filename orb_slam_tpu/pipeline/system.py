@@ -118,6 +118,15 @@ class SlamConfig:
                                       # so the compact O(edges + Kl^3) mode
                                       # is the production path at any
                                       # max_keyframes.
+    max_ba_points: int = 2048         # static bound on points optimized by
+                                      # one local BA: edge/Schur passes run
+                                      # in a compact [max_ba_points, O]
+                                      # space instead of the full point
+                                      # capacity (round-3 bottleneck: the
+                                      # [16384, 32] edge pass served ~1-2k
+                                      # live points). Overflow points stay
+                                      # fixed for that solve (mirrors
+                                      # max_ba_cams). 0 = full capacity.
     mapper_latency_frames: int = 0    # optional sequential-mode stand-in for
                                       # the reference's AcceptKeyFrames
                                       # backpressure (0 = mapper always idle,
@@ -146,6 +155,12 @@ class SlamConfig:
         self.p_local = min(self.p_local, self.map.max_points)
         # the compact BA camera space cannot exceed the keyframe capacity
         self.max_ba_cams = min(self.max_ba_cams, self.map.max_keyframes)
+        # compact BA point space: bounded by the point capacity; keep it a
+        # multiple of 256 so the sharded path divides any small mesh axis
+        if self.max_ba_points:
+            self.max_ba_points = min(
+                max(256, (self.max_ba_points // 256) * 256),
+                self.map.max_points)
         if not self.bow_slots:
             # every feature may land on a distinct word; fewer slots would
             # silently drop BoW mass (advisor finding, round 1). Oracle
@@ -609,7 +624,8 @@ class SLAMSystem:
         pt_opt = m.pt_valid
         m, outlier, (okf, ofeat) = bundle_adjust(
             m, self.K_dev, cam_opt, pt_opt, iters1=10, iters2=10,
-            mesh=cfg.mesh, scale_factor=cfg.map.scale_factor)
+            mesh=cfg.mesh, max_opt_pts=cfg.max_ba_points or None,
+            scale_factor=cfg.map.scale_factor)
         m = apply_edge_outliers(m, outlier, okf, ofeat, kill_starved=False)
         m = refresh_point_stats(m, scale_factor=cfg.map.scale_factor,
                                 n_levels=cfg.map.n_levels)
@@ -1102,9 +1118,10 @@ class SLAMSystem:
         # Local BA in two abortable phases (g2o's setForceStopFlag semantics,
         # Optimizer.cc:351-352): a newly queued keyframe interrupts phase 2.
         ba_kl = cfg.max_ba_cams or None
+        ba_pl = cfg.max_ba_points or None
         m, outlier, (okf, ofeat) = bundle_adjust(
             m, self.K_dev, cam_opt, pt_opt, iters1=5, iters2=0,
-            mesh=cfg.mesh, max_opt_cams=ba_kl,
+            mesh=cfg.mesh, max_opt_cams=ba_kl, max_opt_pts=ba_pl,
             scale_factor=cfg.map.scale_factor)
         if DEBUG:
             dbg(f"kf{new_kf}: BA1 outlier-edges {int(jnp.sum(outlier))} "
@@ -1115,7 +1132,7 @@ class SLAMSystem:
         if not aborted():
             m, outlier, (okf, ofeat) = bundle_adjust(
                 m, self.K_dev, cam_opt, pt_opt, iters1=0, iters2=10,
-                mesh=cfg.mesh, max_opt_cams=ba_kl,
+                mesh=cfg.mesh, max_opt_cams=ba_kl, max_opt_pts=ba_pl,
                 scale_factor=cfg.map.scale_factor)
             if DEBUG:
                 dbg(f"kf{new_kf}: BA2 outlier-edges {int(jnp.sum(outlier))}")

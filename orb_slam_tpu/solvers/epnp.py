@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from orb_slam_tpu.geometry.horn import horn_sim3
-from orb_slam_tpu.utils.dispatch import fused_jit
+from orb_slam_tpu.utils.dispatch import precise_jit
 
 
 def _control_points(pw):
@@ -196,7 +196,7 @@ def epnp_solve(pw, uv, K_mat):
     return best[1], best[2]
 
 
-@partial(fused_jit, static_argnames=("n_hypotheses", "min_set"))
+@partial(precise_jit, static_argnames=("n_hypotheses", "min_set"))
 def epnp_ransac(
     pw, uv, valid, inv_sigma2, K_mat, key,
     n_hypotheses: int = 128, min_set: int = 4, chi2_th: float = 5.991,

@@ -20,7 +20,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from orb_slam_tpu.utils.dispatch import fused_jit
+from orb_slam_tpu.utils.dispatch import precise_jit
 from orb_slam_tpu.geometry.sim3 import (
     sim3_exp, sim3_log, sim3_compose, sim3_inverse,
 )
@@ -45,7 +45,7 @@ def _edge_residual(xi_i, xi_j, base_i, base_j, meas):
     return sim3_log(err)
 
 
-@partial(fused_jit, static_argnames=("iters", "solver", "cg_iters"))
+@partial(precise_jit, static_argnames=("iters", "solver", "cg_iters"))
 def optimize_essential_graph(
     base_s, base_R, base_t,     # [K], [K,3,3], [K,3] current vertex Sim3s
     edges_i, edges_j,           # [E] i32 endpoints
@@ -210,3 +210,15 @@ def relative_sim3(s_i, R_i, t_i, s_j, R_j, t_j):
     builds spanning-tree/covisibility edge measurements from current poses,
     Optimizer.cc:620-700)."""
     return sim3_compose((s_j, R_j, t_j), sim3_inverse((s_i, R_i, t_i)))
+
+
+@precise_jit
+def relative_sim3_batch(s_i, R_i, t_i, s_j, R_j, t_j):
+    """[E]-batched relative_sim3 as ONE device dispatch.
+
+    CorrectLoop builds the essential graph's full edge-measurement set at
+    once; round 3 called relative_sim3 once per edge from a host loop —
+    hundreds of jitted dispatches (~400 ms tunnel RTT each) inside the
+    exclusive-writer window while the mapper is parked (the reference does
+    the whole graph in one optimizer call, Optimizer.cc:540-789)."""
+    return jax.vmap(relative_sim3)(s_i, R_i, t_i, s_j, R_j, t_j)

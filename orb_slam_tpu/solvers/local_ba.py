@@ -153,6 +153,25 @@ def _camera_compaction(cam_opt, Kl: int):
     return local_id, opt_cams, slot_used
 
 
+def _point_compaction(pt_opt, Pl: int):
+    """Compact point index space: local BA only touches the pt_opt points
+    (edges to non-opt points are ignored entirely — reference local-BA edge
+    selection, Optimizer.cc:289-338), yet round 3 ran every edge pass over
+    the FULL point capacity ([P=16384, O] terms for ~1-2k live points).
+    Gathering the optimized rows into a compact [Pl] space before the
+    solver cuts the edge pass, the 3x3 point blocks and the one-hot Schur
+    assembly by P/Pl (~8x at production shapes) — the point-side mirror of
+    _camera_compaction.
+
+    Returns (opt_pts [Pl] i32: compact slot -> point slot,
+    slot_used [Pl] bool). Points beyond Pl (callers bound their local point
+    set) are left un-optimized, exactly like cameras beyond Kl."""
+    order = jnp.argsort(~pt_opt, stable=True)  # optimized points first
+    opt_pts = order[:Pl].astype(jnp.int32)
+    slot_used = jnp.arange(Pl) < jnp.sum(pt_opt)
+    return opt_pts, slot_used
+
+
 def _solve_iteration(kf_pose, pt_pos, edge_w, obs_kf, uv,
                      K_mat, cam_opt, pt_opt, damping, axis_name=None,
                      Kl: int | None = None, terms=None):
@@ -364,10 +383,23 @@ def _ba_core(kf_pose, pt_pos, obs_kf, uv, inv_sigma2, edge_on,
         # stiffer (lambda *= 10). Fixed-damping GN diverges on
         # ill-conditioned local geometry (measured: a curved-trajectory KF
         # blew 614/800 edges past the chi2 gate in one phase).
+        #
+        # Early exit (round 4): LM at keyframe rate usually converges in
+        # 2-4 iterations from the incremental prior; the fixed 5+10
+        # schedule paid ~3x idle iterations per keyframe. The loop stops
+        # once an ACCEPTED step improves the robust cost by < 1e-4
+        # relative, or lambda escalates to its ceiling (hopeless local
+        # geometry) — g2o's own terminate criterion is the same gain
+        # threshold idea. The condition is computed from the psum'd cost,
+        # so it is uniform across shards in the sharded path.
         kf_pose, pt_pos, edge_on, lam = carry
 
-        def step(_, c):
-            kf_pose, pt_pos, lam = c
+        def cond(c):
+            i, _, _, lam_c, done = c
+            return (i < n_iters) & ~done
+
+        def step(c):
+            i, kf_pose, pt_pos, lam, done = c
             # ONE edge pass serves the IRLS weights, the acceptance
             # reference cost AND the solve's residuals/Jacobians (the
             # terms at (kf_pose, pt_pos) are identical in all three —
@@ -385,14 +417,17 @@ def _ba_core(kf_pose, pt_pos, obs_kf, uv, inv_sigma2, edge_on,
             cost0 = robust_from_chi2(chi2, z, edge_on)
             cost1 = robust_cost(new_pose, new_pts, edge_on)
             accept = cost1 < cost0
+            rel_gain = (cost0 - cost1) / jnp.maximum(cost0, 1e-12)
             kf_pose = jnp.where(accept, new_pose, kf_pose)
             pt_pos = jnp.where(accept, new_pts, pt_pos)
             lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 10.0),
                            1e-9, 1e6)
-            return (kf_pose, pt_pos, lam)
+            done = (accept & (rel_gain < 1e-4)) | (~accept & (lam >= 1e6))
+            return (i + 1, kf_pose, pt_pos, lam, done)
 
-        kf_pose, pt_pos, lam = jax.lax.fori_loop(
-            0, n_iters, step, (kf_pose, pt_pos, lam))
+        _, kf_pose, pt_pos, lam, _ = jax.lax.while_loop(
+            cond, step,
+            (jnp.int32(0), kf_pose, pt_pos, lam, jnp.bool_(False)))
         chi2, z = _edge_chi2(kf_pose, pt_pos, obs_kf, uv, K_mat, inv_sigma2)
         edge_on = edge_on & (chi2 <= gate_chi2) & (z > 0)
         return (kf_pose, pt_pos, edge_on, lam)
@@ -419,10 +454,10 @@ def _ba_inputs(state: MapState, pt_opt, scale_factor: float = 1.2):
     return obs_kf, obs_feat, obs_valid, uv, inv_sigma2, edge_on
 
 
-@partial(fused_jit, static_argnames=("iters1", "iters2", "Kl",
+@partial(fused_jit, static_argnames=("iters1", "iters2", "Kl", "Pl",
                                      "scale_factor"))
 def _bundle_adjust_single(state, K_mat, cam_opt, pt_opt, iters1, iters2,
-                          damping, Kl=None, scale_factor=1.2):
+                          damping, Kl=None, Pl=None, scale_factor=1.2):
     # HIGHEST matmul precision throughout: TPU's DEFAULT f32 dot is a
     # single bf16 pass (~4e-3 relative), which measurably degrades the
     # normal equations and the recovered poses (~4e-2 pose drift vs the
@@ -431,11 +466,28 @@ def _bundle_adjust_single(state, K_mat, cam_opt, pt_opt, iters1, iters2,
     with jax.default_matmul_precision("highest"):
         obs_kf, obs_feat, obs_valid, uv, inv_sigma2, edge_on = _ba_inputs(
             state, pt_opt, scale_factor)
-        kf_pose, pt_pos, edge_in = _ba_core(
-            state.kf_pose, state.pt_pos, obs_kf, uv, inv_sigma2, edge_on,
-            cam_opt, pt_opt, K_mat, iters1=iters1, iters2=iters2,
-            damping=damping, Kl=Kl)
-    outlier = obs_valid & pt_opt[:, None] & ~edge_in
+        if Pl is None:
+            kf_pose, pt_pos, edge_in = _ba_core(
+                state.kf_pose, state.pt_pos, obs_kf, uv, inv_sigma2, edge_on,
+                cam_opt, pt_opt, K_mat, iters1=iters1, iters2=iters2,
+                damping=damping, Kl=Kl)
+            outlier = obs_valid & pt_opt[:, None] & ~edge_in
+        else:
+            # compact point space: every solver pass runs over [Pl, O]
+            # instead of the full capacity [P, O] (see _point_compaction)
+            opt_pts, slot_used = _point_compaction(pt_opt, Pl)
+            kf_pose, pt_pos_c, edge_in_c = _ba_core(
+                state.kf_pose, state.pt_pos[opt_pts], obs_kf[opt_pts],
+                uv[opt_pts], inv_sigma2[opt_pts],
+                edge_on[opt_pts] & slot_used[:, None],
+                cam_opt, slot_used, K_mat, iters1=iters1, iters2=iters2,
+                damping=damping, Kl=Kl)
+            pt_pos = state.pt_pos.at[opt_pts].set(
+                jnp.where(slot_used[:, None], pt_pos_c,
+                          state.pt_pos[opt_pts]))
+            P, O = obs_valid.shape
+            outlier_c = obs_valid[opt_pts] & slot_used[:, None] & ~edge_in_c
+            outlier = jnp.zeros((P, O), bool).at[opt_pts].set(outlier_c)
     new_state = state._replace(kf_pose=kf_pose, pt_pos=pt_pos)
     return new_state, outlier, (obs_kf, obs_feat)
 
@@ -443,12 +495,14 @@ def _bundle_adjust_single(state, K_mat, cam_opt, pt_opt, iters1, iters2,
 _SHARDED_BA_CACHE = {}
 
 
-def _bundle_adjust_sharded(mesh, iters1, iters2, Kl=None,
+def _bundle_adjust_sharded(mesh, iters1, iters2, Kl=None, Pl=None,
                            scale_factor=1.2):
     """Jitted sharded BA: points/edges sharded over the mesh's 'data' axis
     (each shard owns a block of the observation table), cameras replicated,
-    one psum per solver iteration reduces the camera system over ICI."""
-    key = (mesh, iters1, iters2, Kl, scale_factor)
+    one psum per solver iteration reduces the camera system over ICI.
+    Pl: optional compact point space (see _point_compaction) — the gather
+    runs replicated before shard_map; the [Pl] arrays then shard."""
+    key = (mesh, iters1, iters2, Kl, Pl, scale_factor)
     if key in _SHARDED_BA_CACHE:
         return _SHARDED_BA_CACHE[key]
     try:
@@ -479,10 +533,25 @@ def _bundle_adjust_sharded(mesh, iters1, iters2, Kl=None,
         with jax.default_matmul_precision("highest"):  # see single-device
             obs_kf, obs_feat, obs_valid, uv, inv_sigma2, edge_on = \
                 _ba_inputs(state, pt_opt, scale_factor)
-            kf_pose, pt_pos, edge_in = sharded(
-                state.kf_pose, state.pt_pos, obs_kf, uv, inv_sigma2,
-                edge_on, cam_opt, pt_opt, K_mat, jnp.float32(damping))
-        outlier = obs_valid & pt_opt[:, None] & ~edge_in
+            if Pl is None:
+                kf_pose, pt_pos, edge_in = sharded(
+                    state.kf_pose, state.pt_pos, obs_kf, uv, inv_sigma2,
+                    edge_on, cam_opt, pt_opt, K_mat, jnp.float32(damping))
+                outlier = obs_valid & pt_opt[:, None] & ~edge_in
+            else:
+                opt_pts, slot_used = _point_compaction(pt_opt, Pl)
+                kf_pose, pt_pos_c, edge_in_c = sharded(
+                    state.kf_pose, state.pt_pos[opt_pts], obs_kf[opt_pts],
+                    uv[opt_pts], inv_sigma2[opt_pts],
+                    edge_on[opt_pts] & slot_used[:, None],
+                    cam_opt, slot_used, K_mat, jnp.float32(damping))
+                pt_pos = state.pt_pos.at[opt_pts].set(
+                    jnp.where(slot_used[:, None], pt_pos_c,
+                              state.pt_pos[opt_pts]))
+                P, O = obs_valid.shape
+                outlier_c = (obs_valid[opt_pts] & slot_used[:, None]
+                             & ~edge_in_c)
+                outlier = jnp.zeros((P, O), bool).at[opt_pts].set(outlier_c)
         new_state = state._replace(kf_pose=kf_pose, pt_pos=pt_pos)
         return new_state, outlier, (obs_kf, obs_feat)
 
@@ -500,6 +569,7 @@ def bundle_adjust(
     damping: float = 1e-3,
     mesh=None,
     max_opt_cams: int | None = None,
+    max_opt_pts: int | None = None,
     scale_factor: float = 1.2,
 ):
     """Run (local or global) BA over the MapState.
@@ -516,19 +586,28 @@ def bundle_adjust(
     independent of the map's keyframe CAPACITY (local BA at K=4096 costs
     the same as at K=64). Cameras beyond the bound are treated as fixed.
     None = use full capacity (exact legacy shapes).
+    max_opt_pts: static bound on |pt_opt| — every solver pass (edge terms,
+    point blocks, Schur assembly) runs in a compact [max_opt_pts, O] space
+    instead of the full point capacity (the round-3 bottleneck: ~8x wasted
+    edge work at production shapes). Points beyond the bound stay fixed.
+    None = full capacity (exact legacy shapes).
     Returns (new_state, edge_outlier [P, O] bool, obs table (kf, feat))."""
+    P = state.pt_valid.shape[0]
+    if max_opt_pts is not None and max_opt_pts >= P:
+        max_opt_pts = None  # compaction would be a no-op permutation
     if mesh is None:
         return _bundle_adjust_single(state, K_mat, cam_opt, pt_opt,
                                      iters1, iters2, damping,
-                                     Kl=max_opt_cams,
+                                     Kl=max_opt_cams, Pl=max_opt_pts,
                                      scale_factor=scale_factor)
     n_data = mesh.shape["data"]
-    P = state.pt_valid.shape[0]
-    if P % n_data:
+    P_sh = max_opt_pts if max_opt_pts is not None else P
+    if P_sh % n_data:
         raise ValueError(
-            f"bundle_adjust: max_points={P} must divide the mesh 'data' "
-            f"axis ({n_data})")
+            f"bundle_adjust: point space {P_sh} must divide the mesh "
+            f"'data' axis ({n_data})")
     return _bundle_adjust_sharded(mesh, iters1, iters2, Kl=max_opt_cams,
+                                  Pl=max_opt_pts,
                                   scale_factor=scale_factor)(
         state, K_mat, cam_opt, pt_opt, damping)
 

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from orb_slam_tpu.geometry.se3 import se3_exp
-from orb_slam_tpu.utils.dispatch import fused_jit
+from orb_slam_tpu.utils.dispatch import precise_jit
 
 HUBER_DELTA2 = 5.991
 ROUND_CHI2 = (9.21, 7.378, 5.991, 5.991)
@@ -157,7 +157,7 @@ def orthonormalize_pose(T):
     return T.at[:3, :3].set(Rn)
 
 
-@partial(fused_jit, static_argnames=("iters",))
+@partial(precise_jit, static_argnames=("iters",))
 def pose_optimize(T_cw0, points, uv, inv_sigma2, valid, K,
                   iters=ROUND_ITERS):
     """Optimize one camera pose against fixed 3D points.

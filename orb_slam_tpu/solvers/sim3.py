@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from orb_slam_tpu.geometry.horn import horn_sim3
 from orb_slam_tpu.geometry.sim3 import sim3_exp
-from orb_slam_tpu.utils.dispatch import fused_jit
+from orb_slam_tpu.utils.dispatch import precise_jit
 
 
 def _project(p_cam, K_mat):
@@ -29,7 +29,7 @@ def _project(p_cam, K_mat):
     return jnp.stack([u, v], axis=-1)
 
 
-@partial(fused_jit, static_argnames=("n_hypotheses", "fix_scale"))
+@partial(precise_jit, static_argnames=("n_hypotheses", "fix_scale"))
 def sim3_ransac(
     p1, p2, uv1, uv2, valid, sigma2_1, sigma2_2, K_mat, key,
     n_hypotheses: int = 300, fix_scale: bool = False,
@@ -77,7 +77,7 @@ def sim3_ransac(
     return s_o, R_o, t_o, inl_o, jnp.sum(inl_o)
 
 
-@partial(fused_jit, static_argnames=("iters", "fix_scale"))
+@partial(precise_jit, static_argnames=("iters", "fix_scale"))
 def optimize_sim3(
     s0, R0, t0, p1, p2, uv1, uv2, valid, inv_sigma2_1, inv_sigma2_2, K_mat,
     iters: int = 10, fix_scale: bool = False, chi2_th: float = 10.0,

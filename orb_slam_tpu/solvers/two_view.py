@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from orb_slam_tpu.geometry.triangulation import triangulate_dlt
-from orb_slam_tpu.utils.dispatch import fused_jit
+from orb_slam_tpu.utils.dispatch import precise_jit
 
 CHI2_1D = 3.841
 CHI2_2D = 5.991
@@ -306,7 +306,7 @@ def _sample_minimal_sets(key, valid, n_hyp: int, k: int = 8):
     return idx
 
 
-@partial(fused_jit, static_argnames=("n_hypotheses", "sigma", "min_triangulated", "min_parallax_deg"))
+@partial(precise_jit, static_argnames=("n_hypotheses", "sigma", "min_triangulated", "min_parallax_deg"))
 def initialize_two_view(
     x1,
     x2,

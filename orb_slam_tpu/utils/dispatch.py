@@ -35,3 +35,32 @@ def fused_jit(fn=None, **jit_kwargs):
         return jax.jit(dispatch_fused(f), **jit_kwargs)
 
     return deco(fn) if fn is not None else deco
+
+
+def _precise(fn):
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
+def precise_jit(fn=None, **jit_kwargs):
+    """fused_jit variant that traces its body under
+    jax_default_matmul_precision=highest.
+
+    TPU's DEFAULT f32 dot is a single bf16 pass (~4e-3 relative error) —
+    fine for gating/selection kernels, measurably wrong for the GEOMETRY
+    SOLVERS (round 3: BA normal equations at DEFAULT drifted converged
+    poses ~4e-2 vs the CPU reference). Every solver whose output is a
+    pose / point / Sim3 estimate is declared with precise_jit; the
+    throughput kernels keep fused_jit + their explicit bf16/int8 operand
+    design. Scoped here (not package-wide) so the hot extraction/tracking
+    path never pays the 6-pass f32 matmul rate (round-4 change; the
+    package-wide flag cost ~10 fps at the 500 fps gate)."""
+
+    def deco(f):
+        return jax.jit(dispatch_fused(_precise(f)), **jit_kwargs)
+
+    return deco(fn) if fn is not None else deco
