@@ -26,9 +26,8 @@ from orb_slam_tpu.slam_map.covisibility import covisibility_weights
 from orb_slam_tpu.slam_map.observations import refresh_point_stats
 from orb_slam_tpu.solvers.sim3 import sim3_ransac, optimize_sim3
 from orb_slam_tpu.solvers.essential_graph import (
-    optimize_essential_graph, relative_sim3,
+    optimize_essential_graph, relative_sim3_batch,
 )
-from orb_slam_tpu.geometry.sim3 import sim3_compose, sim3_inverse
 from orb_slam_tpu.pipeline.mapping_kernels import fuse_points_into_keyframes
 
 
@@ -83,11 +82,12 @@ def search_by_sim3(state, kf1, kf2, s, R, t, K_mat, radius: float = 7.5):
     return idx, ok
 
 
-@partial(fused_jit, static_argnames=("scale_factor", "n_levels"))
+@partial(fused_jit, static_argnames=("scale_factor", "n_levels", "bounds"))
 def project_loop_points(state, new_kf, loop_mask, matched_feat, matched_pts,
                         s, R, t, T_cand, K_mat,
                         width: float, height: float, th: float = 10.0,
-                        scale_factor: float = 1.2, n_levels: int = 8):
+                        scale_factor: float = 1.2, n_levels: int = 8,
+                        bounds=None):
     """SearchByProjection(KF, Scw, vpPoints, vpMatched, th) — the loop
     verification matcher (reference: src/ORBmatcher.cc:286-407, called
     from LoopClosing::ComputeSim3 at LoopClosing.cc:375-394): project the
@@ -109,7 +109,10 @@ def project_loop_points(state, new_kf, loop_mask, matched_feat, matched_pts,
     u = K_mat[0, 0] * p_cur[:, 0] / zs + K_mat[0, 2]
     v = K_mat[1, 1] * p_cur[:, 1] / zs + K_mat[1, 2]
     dist = jnp.linalg.norm(p_cur, axis=-1)
-    in_img = (z > 0) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+    # undistorted image bounds (Frame.cc:321-349; kf_xy are undistorted)
+    mnx, mxx, mny, mxy = bounds if bounds is not None else (
+        0.0, float(width), 0.0, float(height))
+    in_img = (z > 0) & (u >= mnx) & (u < mxx) & (v >= mny) & (v < mxy)
     band = (dist >= state.pt_min_dist) & (dist <= state.pt_max_dist)
     # viewing angle < 60 deg (ORBmatcher.cc:334-337): ray from the current
     # camera center (in world) vs the point's mean viewing normal
@@ -309,7 +312,8 @@ class LoopCloser:
                 s, R, t, m.kf_pose[cand], system.K_dev,
                 width=float(system.cfg.camera.width),
                 height=float(system.cfg.camera.height),
-                scale_factor=sf, n_levels=system.cfg.map.n_levels)
+                scale_factor=sf, n_levels=system.cfg.map.n_levels,
+                bounds=system.img_bounds)
             n_total = int(jnp.sum(inl)) + int(jnp.sum(proj_ok))
             dbg(f"sim3 cand {cand}: opt_inliers={int(n_in)} "
                 f"projected={int(jnp.sum(proj_ok))} total={n_total}")
@@ -366,15 +370,17 @@ class LoopCloser:
         pt_valid = np.asarray(m.pt_valid)
         pos = np.array(m.pt_pos)
         in_group = np.isin(pt_ref, group) & pt_valid
-        for k in group:
-            sel = in_group & (pt_ref == k)
-            if not sel.any():
-                continue
-            x = pos[sel]
-            p_cam = x @ old_R[k].T + old_t[k]  # S_old (scale 1)
+        if in_group.any():
+            # one gather by pt_ref instead of a per-KF loop: each point maps
+            # through x' = S_new^-1(S_old(x)) of ITS reference KF
+            ref = np.clip(pt_ref, 0, K - 1)
+            p_cam = (np.einsum("pij,pj->pi", old_R[ref], pos)
+                     + old_t[ref])  # S_old (scale 1)
             # S_new^-1: x = (R^T (p - t)) / s
-            x_new = ((p_cam - base_t[k]) @ base_R[k]) / base_s[k]
-            pos[sel] = x_new
+            x_new = np.einsum(
+                "pji,pj->pi", base_R[ref], p_cam - base_t[ref]
+            ) / base_s[ref][:, None]
+            pos = np.where(in_group[:, None], x_new, pos)
         m = m._replace(pt_pos=jnp.asarray(pos))
 
         # corrected SE3 for the group before pose graph: [R, t/s]
@@ -408,7 +414,8 @@ class LoopCloser:
             width=system.cfg.camera.width,
             height=system.cfg.camera.height,
             scale_factor=system.cfg.map.scale_factor,
-            n_levels=system.cfg.map.n_levels)
+            n_levels=system.cfg.map.n_levels,
+            bounds=system.img_bounds)
         system._compose_forward(remap)
         system._reclaim_points(m)
 
@@ -459,30 +466,36 @@ class LoopCloser:
         ei = np.zeros(E_pad, np.int32)
         ej = np.zeros(E_pad, np.int32)
         ev = np.zeros(E_pad, bool)
+        n_e = len(edges)
+        if n_e:
+            ea = np.asarray([a for a, _ in edges], np.int32)
+            eb = np.asarray([b for _, b in edges], np.int32)
+            ei[:n_e], ej[:n_e], ev[:n_e] = ea, eb, True
+            # measurement from PRE-correction poses, except the new loop
+            # connections which use the corrected Sim3s of group members
+            # (vScw in Optimizer.cc:578-636: CorrectedSim3 for the group).
+            # Assembled as select-gathers + ONE batched device dispatch
+            # (round 3 looped relative_sim3 per edge — hundreds of ~400 ms
+            # tunnel RTTs inside the exclusive-writer window).
+            is_loop = np.asarray([(a, b) in loop_conn for a, b in edges])
+            in_grp = np.isin(np.arange(K), list(group_set))
+            use_corr_a = is_loop & in_grp[ea]
+            use_corr_b = is_loop & in_grp[eb]
+            sa = np.where(use_corr_a, base_s[ea], old_s[ea])
+            Ra = np.where(use_corr_a[:, None, None], base_R[ea], old_R[ea])
+            ta = np.where(use_corr_a[:, None], base_t[ea], old_t[ea])
+            sb = np.where(use_corr_b, base_s[eb], old_s[eb])
+            Rb = np.where(use_corr_b[:, None, None], base_R[eb], old_R[eb])
+            tb = np.where(use_corr_b[:, None], base_t[eb], old_t[eb])
+            rs, rR, rt = relative_sim3_batch(
+                jnp.asarray(sa), jnp.asarray(Ra), jnp.asarray(ta),
+                jnp.asarray(sb), jnp.asarray(Rb), jnp.asarray(tb))
+            rs, rR, rt = np.asarray(rs), np.asarray(rR), np.asarray(rt)
         ms_ = np.ones(E_pad, np.float32)
         mR_ = np.tile(np.eye(3, dtype=np.float32), (E_pad, 1, 1))
         mt_ = np.zeros((E_pad, 3), np.float32)
-        for n, (a, b) in enumerate(edges):
-            ei[n], ej[n], ev[n] = a, b, True
-            # measurement from PRE-correction poses, except the new loop
-            # connections which use the corrected Sim3s of group members
-            # (vScw in Optimizer.cc:578-636: CorrectedSim3 for the group)
-            if (a, b) in loop_conn:
-                sa, Ra, ta = (
-                    (base_s[a], base_R[a], base_t[a]) if a in group_set
-                    else (old_s[a], old_R[a], old_t[a]))
-                sb, Rb, tb = (
-                    (base_s[b], base_R[b], base_t[b]) if b in group_set
-                    else (old_s[b], old_R[b], old_t[b]))
-            else:
-                sa, Ra, ta = old_s[a], old_R[a], old_t[a]
-                sb, Rb, tb = old_s[b], old_R[b], old_t[b]
-            rs, rR, rt = relative_sim3(
-                jnp.asarray(sa), jnp.asarray(Ra), jnp.asarray(ta),
-                jnp.asarray(sb), jnp.asarray(Rb), jnp.asarray(tb))
-            ms_[n] = float(rs)
-            mR_[n] = np.asarray(rR)
-            mt_[n] = np.asarray(rt)
+        if n_e:
+            ms_[:n_e], mR_[:n_e], mt_[:n_e] = rs, rR, rt
 
         fixed = ~kf_valid.copy()
         fixed[cand] = True
@@ -503,33 +516,33 @@ class LoopCloser:
         t_o = np.asarray(t_o)
 
         # re-map ALL points through their reference KF's correction
-        # (Optimizer.cc:749-789)
+        # (Optimizer.cc:749-789) — one gather by pt_ref instead of a
+        # per-keyframe host loop over the full point array
         pos = np.array(m.pt_pos)
         pt_ref = np.asarray(m.pt_ref_kf)
         pt_valid = np.asarray(m.pt_valid)
-        for k in range(K):
-            if not kf_valid[k]:
-                continue
-            sel = pt_valid & (pt_ref == k)
-            if not sel.any():
-                continue
-            x = pos[sel]
-            # old vertex value (post group-correction state): for group
-            # members base_*, others old SE3
-            if k in group:
-                so, Ro, to = base_s[k], base_R[k], base_t[k]
-            else:
-                so, Ro, to = old_s[k], old_R[k], old_t[k]
-            p_cam = (so * (x @ Ro.T) + to)
-            x_new = ((p_cam - t_o[k]) @ R_o[k]) / s_o[k]
-            pos[sel] = x_new
+        # old vertex value (post group-correction state): for group
+        # members base_*, others old SE3
+        in_grp = np.isin(np.arange(K), group)
+        v_s = np.where(in_grp, base_s, old_s)
+        v_R = np.where(in_grp[:, None, None], base_R, old_R)
+        v_t = np.where(in_grp[:, None], base_t, old_t)
+        ref = np.clip(pt_ref, 0, K - 1)
+        sel = pt_valid & kf_valid[ref] & (pt_ref >= 0) & (pt_ref < K)
+        if sel.any():
+            p_cam = (v_s[ref][:, None]
+                     * np.einsum("pij,pj->pi", v_R[ref], pos) + v_t[ref])
+            x_new = np.einsum(
+                "pji,pj->pi", R_o[ref], p_cam - t_o[ref]
+            ) / s_o[ref][:, None]
+            pos = np.where(sel[:, None], x_new, pos)
 
         # recover SE3 poses [R, t/s]
         poses_new = poses_corr.copy()
-        for k in range(K):
-            if kf_valid[k]:
-                poses_new[k][:3, :3] = R_o[k]
-                poses_new[k][:3, 3] = t_o[k] / s_o[k]
+        poses_new[:, :3, :3] = np.where(
+            kf_valid[:, None, None], R_o, poses_corr[:, :3, :3])
+        poses_new[:, :3, 3] = np.where(
+            kf_valid[:, None], t_o / s_o[:, None], poses_corr[:, :3, 3])
 
         # record the loop edge both ways (KeyFrame::AddLoopEdge)
         le = np.array(m.loop_edges)

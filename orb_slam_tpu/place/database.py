@@ -83,12 +83,13 @@ class KeyFrameDatabase:
         the loop-detection score floor (LoopClosing::DetectLoop,
         LoopClosing.cc:114-131). Runs under the database lock so a
         concurrent add/erase from the mapper thread cannot tear an
-        (ids, w) pair mid-read."""
-        scores = [
-            float(l1_score(ids, w, self.bow_ids[c], self.bow_w[c]))
-            for c in covisible_slots if self.active[c]
-        ]
-        return min(scores) if scores else default
+        (ids, w) pair mid-read. ONE vmapped dispatch over all keyframes
+        (round 3 issued one l1_score dispatch per covisible)."""
+        act = [c for c in covisible_slots if self.active[c]]
+        if not act:
+            return default
+        scores = np.array(self._score_all(ids, w, self.bow_ids, self.bow_w))
+        return float(scores[act].min())
 
     @_locked
     def scores_against_all(self, ids, w):
