@@ -211,10 +211,11 @@ def insert_new_points(
 
 
 @partial(fused_jit, static_argnames=("width", "height", "scale_factor",
-                                     "n_levels"))
+                                     "n_levels", "bounds"))
 def fuse_into_keyframe(state: MapState, src_kf, dst_kf, K_mat,
                        width: int = 640, height: int = 480,
-                       scale_factor: float = 1.2, n_levels: int = 8):
+                       scale_factor: float = 1.2, n_levels: int = 8,
+                       bounds=None):
     """Project src_kf's bound points into dst_kf, match, then either bind
     unbound features or MERGE duplicate points (keep the one with more
     observations; rebind the loser everywhere). Replaces ORBmatcher::Fuse +
@@ -233,7 +234,10 @@ def fuse_into_keyframe(state: MapState, src_kf, dst_kf, K_mat,
     u = K_mat[0, 0] * pc[:, 0] / zs + K_mat[0, 2]
     v = K_mat[1, 1] * pc[:, 1] / zs + K_mat[1, 2]
     proj = jnp.stack([u, v], -1)
-    in_img = (z > 0) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+    # undistorted image bounds (Frame.cc:321-349; kf_xy are undistorted)
+    mnx, mxx, mny, mxy = bounds if bounds is not None else (
+        0.0, float(width), 0.0, float(height))
+    in_img = (z > 0) & (u >= mnx) & (u < mxx) & (v >= mny) & (v < mxy)
 
     C = -T_dst[:3, :3].T @ T_dst[:3, 3]
     dist = jnp.linalg.norm(pos - C, axis=-1)
@@ -338,10 +342,11 @@ def fuse_into_keyframe(state: MapState, src_kf, dst_kf, K_mat,
 
 
 @partial(fused_jit, static_argnames=("width", "height", "scale_factor",
-                                     "n_levels"))
+                                     "n_levels", "bounds"))
 def fuse_points_into_keyframes(state: MapState, pt_mask, dst_kfs, K_mat,
                                width: int = 640, height: int = 480,
-                               scale_factor: float = 1.2, n_levels: int = 8):
+                               scale_factor: float = 1.2, n_levels: int = 8,
+                               bounds=None):
     """SearchAndFuse (reference: src/LoopClosing.cc:557-570 +
     ORBmatcher::Fuse(KF, Scw, ...), src/ORBmatcher.cc:1136-1265): project a
     point SET (pt_mask, the loop neighborhood's mvpLoopMapPoints) into
@@ -369,7 +374,9 @@ def fuse_points_into_keyframes(state: MapState, pt_mask, dst_kfs, K_mat,
         u = K_mat[0, 0] * pc[:, 0] / zs + K_mat[0, 2]
         v = K_mat[1, 1] * pc[:, 1] / zs + K_mat[1, 2]
         proj = jnp.stack([u, v], -1)
-        in_img = (z > 0) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+        mnx, mxx, mny, mxy = bounds if bounds is not None else (
+            0.0, float(width), 0.0, float(height))
+        in_img = (z > 0) & (u >= mnx) & (u < mxx) & (v >= mny) & (v < mxy)
 
         C = -T_dst[:3, :3].T @ T_dst[:3, 3]
         dist = jnp.linalg.norm(st.pt_pos - C, axis=-1)

@@ -206,6 +206,15 @@ class SLAMSystem:
             self.extractor = self.extractor_init = self.init_orb = None
         self.K = np.asarray(self.cfg.camera.K)
         self.K_dev = jnp.asarray(self.K)
+        # undistorted image bounds, computed ONCE from the camera model
+        # (the reference's mnMinX/mnMaxX/mnMinY/mnMaxY, Frame.cc:321-349):
+        # every frustum / fuse / projection gate uses these instead of the
+        # raw [0,W)x[0,H) — with barrel distortion (k1<0) undistorted
+        # keypoints near the frame edge exceed the raw bounds and edge map
+        # points would be wrongly culled
+        from orb_slam_tpu.geometry.camera import undistorted_bounds
+        _b = undistorted_bounds(self.cfg.camera)
+        self.img_bounds = tuple(float(v) for v in _b)
         self._frontend_jit = {}
         self.reset()
 
@@ -266,6 +275,8 @@ class SLAMSystem:
         self.db = None
         self.loop_closer = None
         self.n_loops_closed = 0
+        self.n_relocs = 0  # accepted relocalisation events (the reference's
+                           # behavioral spec counts these, README.md:150-172)
         # persistent merge-forwarding table (MapPoint::Replace's mpReplaced
         # pointer, MapPoint.cc:124-158): point ids snapshotted OUTSIDE the
         # map (queued async keyframes, buffered counter deltas) are resolved
@@ -382,6 +393,7 @@ class SLAMSystem:
                         carry, self.K_dev, pt_mask,
                         p_local=cfg.p_local, width=cam.width,
                         height=cam.height, radius=cfg.track_radius,
+                        bounds=self.img_bounds,
                         scale_factor=cfg.map.scale_factor,
                         n_levels=cfg.map.n_levels,
                         max_dist=TH_HIGH, min_inliers=cfg.min_track_inliers,
@@ -717,7 +729,7 @@ class SLAMSystem:
             jnp.asarray(T_pred), self.K_dev, self._track_mask(),
             p_local=cfg.p_local,
             width=self.cfg.camera.width, height=self.cfg.camera.height,
-            radius=cfg.track_radius,
+            radius=cfg.track_radius, bounds=self.img_bounds,
             scale_factor=cfg.map.scale_factor, n_levels=cfg.map.n_levels,
         )
         n_in = int(res.n_inliers)
@@ -753,7 +765,7 @@ class SLAMSystem:
                     frame.valid, T_rec, self.K_dev, self._track_mask(),
                     p_local=cfg.p_local,
                     width=cfg.camera.width, height=cfg.camera.height,
-                    radius=cfg.track_radius,
+                    radius=cfg.track_radius, bounds=self.img_bounds,
                     scale_factor=cfg.map.scale_factor,
                     n_levels=cfg.map.n_levels,
                 )
@@ -767,7 +779,7 @@ class SLAMSystem:
                 jnp.asarray(self.last_pose), self.K_dev, self._track_mask(),
                 p_local=cfg.p_local,
                 width=self.cfg.camera.width, height=self.cfg.camera.height,
-                radius=cfg.track_radius * 2.0,
+                radius=cfg.track_radius * 2.0, bounds=self.img_bounds,
                 scale_factor=cfg.map.scale_factor, n_levels=cfg.map.n_levels,
             )
             n_in = int(res.n_inliers)
@@ -947,7 +959,7 @@ class SLAMSystem:
                 m, frame.xy, frame.desc, frame.octave, frame.valid,
                 T_opt, self.K_dev, p_local=cfg.p_local,
                 width=cfg.camera.width, height=cfg.camera.height,
-                radius=10.0, max_dist=100,
+                radius=10.0, max_dist=100, bounds=self.img_bounds,
                 scale_factor=cfg.map.scale_factor, n_levels=cfg.map.n_levels)
             n_good = int(res.n_inliers)
             if 30 <= n_good < cfg.min_reloc_inliers:
@@ -955,7 +967,7 @@ class SLAMSystem:
                     m, frame.xy, frame.desc, frame.octave, frame.valid,
                     res.pose, self.K_dev, p_local=cfg.p_local,
                     width=cfg.camera.width, height=cfg.camera.height,
-                    radius=3.0, max_dist=64,
+                    radius=3.0, max_dist=64, bounds=self.img_bounds,
                     scale_factor=cfg.map.scale_factor,
                     n_levels=cfg.map.n_levels)
                 if int(res2.n_inliers) > n_good:
@@ -964,6 +976,7 @@ class SLAMSystem:
                 self.last_pose = np.asarray(res.pose)
                 self.velocity = np.eye(4, dtype=np.float32)
                 self.state = WORKING
+                self.n_relocs += 1
                 # re-anchor the local map on the reloc keyframe's
                 # neighborhood (Tracking.cc:851-858)
                 self._refresh_local_mask(int(cand))
@@ -1081,12 +1094,12 @@ class SLAMSystem:
                 m, new_kf, nb, self.K_dev,
                 width=cfg.camera.width, height=cfg.camera.height,
                 scale_factor=cfg.map.scale_factor,
-                n_levels=cfg.map.n_levels)
+                n_levels=cfg.map.n_levels, bounds=self.img_bounds)
             m, b2, g2, remap2 = fuse_into_keyframe(
                 m, nb, new_kf, self.K_dev,
                 width=cfg.camera.width, height=cfg.camera.height,
                 scale_factor=cfg.map.scale_factor,
-                n_levels=cfg.map.n_levels)
+                n_levels=cfg.map.n_levels, bounds=self.img_bounds)
             self._compose_forward(remap1)
             self._compose_forward(remap2)
             if DEBUG:

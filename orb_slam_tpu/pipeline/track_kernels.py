@@ -46,20 +46,30 @@ def project_points(pt_pos, T_cw, K_mat):
 
 def frustum_gate(state: MapState, T_cw, K_mat, width, height,
                  view_cos_limit=0.5, scale_factor: float = 1.2,
-                 n_levels: int = 8):
+                 n_levels: int = 8, bounds=None):
     """Frame::isInFrustum for every map point at once (src/Frame.cc:137-198).
     Returns (visible [P], proj [P,2], pred_level [P], dist [P]).
 
     scale_factor / n_levels come from the extractor settings (the reference
     derives mfLogScaleFactor and the octave clamp from them, Frame.cc:95-107,
-    181-190)."""
+    181-190).
+
+    bounds = (min_x, max_x, min_y, max_y) UNDISTORTED image bounds (the
+    reference computes mnMinX/mnMaxX/mnMinY/mnMaxY once from the
+    undistorted corners, Frame.cc:321-349, and gates isInFrustum on them —
+    with barrel distortion, undistorted keypoint coords near the frame
+    edge lie OUTSIDE [0,W)x[0,H), so raw bounds wrongly cull edge points).
+    None = (0, width, 0, height)."""
+    if bounds is None:
+        bounds = (0.0, float(width), 0.0, float(height))
+    min_x, max_x, min_y, max_y = bounds
     proj, z = project_points(state.pt_pos, T_cw, K_mat)
     in_img = (
         (z > 0.0)
-        & (proj[:, 0] >= 0)
-        & (proj[:, 0] < width)
-        & (proj[:, 1] >= 0)
-        & (proj[:, 1] < height)
+        & (proj[:, 0] >= min_x)
+        & (proj[:, 0] < max_x)
+        & (proj[:, 1] >= min_y)
+        & (proj[:, 1] < max_y)
     )
     C = -T_cw[:3, :3].T @ T_cw[:3, 3]
     rays = state.pt_pos - C
@@ -95,6 +105,7 @@ def _track_body(
     scale_factor: float = 1.2,
     n_levels: int = 8,
     max_dist: int = TH_HIGH,
+    bounds=None,
 ) -> TrackResult:
     """One fused tracking step. Returns optimized pose + feature->point
     bindings for potential keyframe creation.
@@ -108,7 +119,7 @@ def _track_body(
 
     visible, proj, pred_level, dist = frustum_gate(
         state, T_pred, K_mat, width, height,
-        scale_factor=scale_factor, n_levels=n_levels,
+        scale_factor=scale_factor, n_levels=n_levels, bounds=bounds,
     )
     if pt_mask is not None:
         visible = visible & pt_mask
@@ -207,7 +218,7 @@ def _track_body(
 track_frame = partial(
     fused_jit,
     static_argnames=("p_local", "width", "height", "radius", "scale_factor",
-                     "n_levels", "max_dist"),
+                     "n_levels", "max_dist", "bounds"),
 )(_track_body)
 
 
@@ -356,6 +367,7 @@ def _track_chunk_body(
     max_dist: int = TH_HIGH,
     min_inliers: int = 30,
     use_motion_model: bool = True,
+    bounds=None,
 ) -> ChunkResult:
     """Track B frames against ONE map snapshot in a single device program.
 
@@ -381,7 +393,7 @@ def _track_chunk_body(
             p_local=p_local, width=width, height=height, radius=radius,
             scale_factor=scale_factor, n_levels=n_levels,
             max_dist=max_dist, min_inliers=min_inliers,
-            use_motion_model=use_motion_model)
+            use_motion_model=use_motion_model, bounds=bounds)
 
     frames = (feats_xy, feats_desc, feats_octave, feats_valid)
     _, (poses, obs, n_in, n_m, vis) = jax.lax.scan(
@@ -393,7 +405,7 @@ def chunk_track_step(state, xy, desc, octv, val, carry, K_mat,
                      pt_mask=None, *,
                      p_local, width, height, radius, max_dist,
                      min_inliers, use_motion_model, retry=True,
-                     scale_factor=1.2, n_levels=8):
+                     scale_factor=1.2, n_levels=8, bounds=None):
     """One frame of the chunk recurrence (shared by _track_chunk_body and
     the fused extract+track scan): motion-model prediction, optionally the
     wide-window no-motion-model retry on low inliers (Tracking.cc:486-552)
@@ -410,7 +422,7 @@ def chunk_track_step(state, xy, desc, octv, val, carry, K_mat,
         state, xy, desc, octv, val, T_pred, K_mat, pt_mask,
         p_local=p_local, width=width, height=height,
         radius=radius, scale_factor=scale_factor, n_levels=n_levels,
-        max_dist=max_dist,
+        max_dist=max_dist, bounds=bounds,
     )
 
     if retry:
@@ -419,7 +431,7 @@ def chunk_track_step(state, xy, desc, octv, val, carry, K_mat,
                 state, xy, desc, octv, val, pose, K_mat, pt_mask,
                 p_local=p_local, width=width, height=height,
                 radius=radius * 2.0, scale_factor=scale_factor,
-                n_levels=n_levels, max_dist=max_dist,
+                n_levels=n_levels, max_dist=max_dist, bounds=bounds,
             )
 
         res = jax.lax.cond(
@@ -436,5 +448,5 @@ track_chunk = partial(
     fused_jit,
     static_argnames=("p_local", "width", "height", "radius", "scale_factor",
                      "n_levels", "max_dist", "min_inliers",
-                     "use_motion_model"),
+                     "use_motion_model", "bounds"),
 )(_track_chunk_body)
