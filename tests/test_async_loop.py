@@ -56,13 +56,8 @@ class TestAsyncWithPlaceRecognition:
         sys_.close()
 
         # restore into a fresh sequential system and keep going
-        cfg = sys_.cfg
-        sys2 = SLAMSystem.__new__(SLAMSystem)
-        sys2.cfg = cfg
-        sys2.extractor = None
-        sys2.K = scene.K
-        sys2.K_dev = jnp.asarray(scene.K)
-        sys2.reset()
+        cfg = sys_.cfg  # oracle config (orb=None): the REAL constructor
+        sys2 = SLAMSystem(cfg)
         load_session(p, sys2)
         assert sys2.vocab is not None
         assert sys2.db is not None

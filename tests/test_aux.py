@@ -18,15 +18,9 @@ def small_system(scene, n_slots=200):
         map=MapConfig(max_keyframes=16, max_points=1024, n_features=n_slots),
         p_local=512, n_triangulation_neighbors=2, n_fuse_neighbors=2,
         local_ba_window=4, enable_loop_closing=False,
-        enable_relocalisation=False,
+        enable_relocalisation=False, orb=None,
     )
-    sys_ = SLAMSystem.__new__(SLAMSystem)
-    sys_.cfg = cfg
-    sys_.extractor = None
-    sys_.K = scene.K
-    sys_.K_dev = jnp.asarray(scene.K)
-    sys_.reset()
-    return sys_
+    return SLAMSystem(cfg)
 
 
 @pytest.fixture(scope="module")

@@ -19,14 +19,10 @@ def make_system(scene, n_slots=200, **overrides):
         map=MapConfig(max_keyframes=48, max_points=4096, n_features=n_slots),
         p_local=512, n_triangulation_neighbors=3, n_fuse_neighbors=2,
         local_ba_window=6, enable_loop_closing=False,
-        enable_relocalisation=False, **overrides)
-    sys_ = SLAMSystem.__new__(SLAMSystem)
-    sys_.cfg = cfg
-    sys_.extractor = None
-    sys_.K = scene.K
-    sys_.K_dev = jnp.asarray(scene.K)
-    sys_.reset()
-    return sys_
+        enable_relocalisation=False,
+        orb=None,  # oracle-features mode: the REAL constructor
+        **overrides)
+    return SLAMSystem(cfg)
 
 
 class TestLongRun:

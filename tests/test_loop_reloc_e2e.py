@@ -19,15 +19,10 @@ def make_system(scene, n_slots, **overrides):
         n_triangulation_neighbors=3,
         n_fuse_neighbors=2,
         local_ba_window=6,
+        orb=None,  # oracle-features mode: the REAL constructor
         **overrides,
     )
-    sys_ = SLAMSystem.__new__(SLAMSystem)
-    sys_.cfg = cfg
-    sys_.extractor = None
-    sys_.K = scene.K
-    sys_.K_dev = jnp.asarray(scene.K)
-    sys_.reset()
-    return sys_
+    return SLAMSystem(cfg)
 
 
 def yaw_pose(yaw, C):

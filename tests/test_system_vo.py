@@ -24,13 +24,8 @@ def run_sequence(n_frames=30, step=0.08, n_slots=200, seed=0):
         n_fuse_neighbors=2,
         local_ba_window=6,
     )
-    cfg.orb = None  # oracle features only; extractor unused
-    sys_ = SLAMSystem.__new__(SLAMSystem)
-    sys_.cfg = cfg
-    sys_.extractor = None
-    sys_.K = scene.K
-    sys_.K_dev = jnp.asarray(scene.K)
-    sys_.reset()
+    cfg.orb = None  # oracle features only; the REAL constructor
+    sys_ = SLAMSystem(cfg)
     est = {}
     for i in range(n_frames):
         feats = scene.observe(poses[i], n_slots=n_slots)
