@@ -126,10 +126,13 @@ def cmd_run(args):
     if args.use_async:
         system.finish()
     wall = time.perf_counter() - t0
+    import jax
     print(
         f"[final] frames={n} keyframes={system.n_keyframes} "
         f"points={system.n_points} loops_closed={system.n_loops_closed} "
+        f"relocalisations={system.n_relocs} "
         f"state={STATE_NAMES[system.state]} "
+        f"platform={jax.default_backend()} "
         f"fps={n / max(wall, 1e-9):.1f}",
         file=sys.stderr,
     )

@@ -284,6 +284,10 @@ def _extract(img, *, config: ORBConfig) -> ORBFeatures:
             cell_size=config.cell_size,
             border=config.edge_threshold,
             use_harris=config.score_harris,
+            # the reference's imageRatio is the LEVEL-0 aspect for every
+            # level (src/ORBextractor.cc:527); keeps the grid identical to
+            # the stacked path
+            aspect_ratio=float(img.shape[1]) / float(img.shape[0]),
         )
         angle = ic_angles(level_img, xy)
         # Round the blurred image to integers: this reproduces cv2's uint8

@@ -100,10 +100,132 @@ def nms3x3(score):
     return score >= mx
 
 
+def reference_quota(avail, max_kp, active=None):
+    """Converged per-cell quota of the reference's starved-cell
+    redistribution loop (src/ORBextractor.cc:644-670), replicated exactly:
+    starting from the fair share ceil(max_kp/n_cells), cells with fewer
+    corners than the quota donate their deficit, which is re-spread
+    (ceil-divided) over the not-yet-saturated cells until no new cell
+    saturates. Each cell then retains min(avail, q*); the over-quota total
+    is trimmed globally by score (retainBest, :678-702).
+
+    avail: [n_cells] int32 corner counts (post threshold-fallback).
+    max_kp: int32 scalar (or python int).
+    active: [n_cells] bool — cells that exist in the level's grid (the
+    stacked canvas carries cells beyond a level's extent; the reference's
+    grid covers only the image, so phantom cells must not donate quota).
+    Returns q* int32 scalar.
+
+    vmap-safe (one while_loop for ALL pyramid levels instead of L
+    sequential ones): vmap keeps iterating every batch element until all
+    cond's are false, so the body must be a fixed point for converged
+    elements. It is: with d == 0 the body is the identity, and in the only
+    other stopped state (d > 0 with every cell saturated) the body raises
+    q past every avail, which cannot change the retained set
+    min(avail, q). The callers rely on this."""
+    n_cells_static = avail.shape[0]
+    if active is None:
+        active = jnp.ones((n_cells_static,), bool)
+    max_kp = jnp.asarray(max_kp, jnp.int32)
+    n_cells = jnp.sum(active).astype(jnp.int32)
+    fair = -(-max_kp // jnp.maximum(n_cells, 1))
+    no_more0 = active & (avail <= fair)
+    d0 = jnp.sum(jnp.where(no_more0, fair - avail, 0)).astype(jnp.int32)
+
+    def cond(s):
+        _, d, no_more = s
+        return (d > 0) & (jnp.sum(no_more) < n_cells)
+
+    def body(s):
+        q, d, no_more = s
+        u = n_cells - jnp.sum(no_more)
+        new_q = q + -(-d // jnp.maximum(u, 1))
+        newly = active & (~no_more) & (avail <= new_q)
+        d2 = jnp.sum(jnp.where(newly, new_q - avail, 0)).astype(jnp.int32)
+        return new_q, d2, no_more | newly
+
+    q, _, _ = jax.lax.while_loop(
+        cond, body, (fair.astype(jnp.int32), d0, no_more0))
+    return q
+
+
+def reference_grid(h: int, w: int, quota: int, aspect_ratio: float,
+                   border: int):
+    """The reference's quota-adaptive per-level cell grid
+    (src/ORBextractor.cc:528-543, int-truncation quirks preserved):
+    levelCols = sqrt(nDesired/(5*imageRatio)), levelRows =
+    imageRatio*levelCols, cells of ceil(W/cols) x ceil(H/rows) spanning
+    [border, size-border). imageRatio is the LEVEL-0 width/height. Sized so
+    the fair share is ~5 corners/cell — at that granularity the global
+    retainBest trim barely binds, which is what keeps the reference's
+    selection spatially spread. Returns (rows, cols, cellH, cellW)."""
+    Wb = max(1, w - 2 * border)
+    Hb = max(1, h - 2 * border)
+    cols = int(np.sqrt(quota / (5.0 * aspect_ratio)))
+    rows = int(aspect_ratio * cols)
+    cols = max(1, min(cols, Wb))
+    rows = max(1, min(rows, Hb))
+    cellW = -(-Wb // cols)
+    cellH = -(-Hb // rows)
+    return rows, cols, cellH, cellW
+
+
+def _level_pool(lvl, quota: int, rows: int, cols: int, cellH: int,
+                cellW: int, border: int, th_ini: float, th_min: float):
+    """Candidate pool for ONE level on a pre-masked score canvas `lvl`
+    [H, W] (non-maxima / out-of-border already zeroed): reference
+    threshold fallback + per-cell score-sorted top-k. Returns
+    (top [n_cells, k_cell], abs_x, abs_y, avail [n_cells]); the caller
+    computes the redistribution quota (batched over levels) and masks
+    rank >= q*."""
+    H, W = lvl.shape
+    need_h, need_w = border + rows * cellH, border + cols * cellW
+    lvl = jnp.pad(lvl, ((0, max(0, need_h - H)), (0, max(0, need_w - W))))
+    n_cells = rows * cols
+    area = cellH * cellW
+    cells = (
+        lvl[border:need_h, border:need_w]
+        .reshape(rows, cellH, cols, cellW)
+        .transpose(0, 2, 1, 3)
+        .reshape(n_cells, area)
+    )
+    # threshold fallback: the reference retries a cell at th_min when FAST
+    # at th_ini yields <= 3 corners (src/ORBextractor.cc:607-614)
+    n_ini = jnp.sum(cells > th_ini, axis=1)
+    cell_th = jnp.where(n_ini > 3, th_ini, th_min)
+    cells = jnp.where(cells > cell_th[:, None], cells, 0.0)
+    avail = jnp.sum(cells > 0.0, axis=1).astype(jnp.int32)
+
+    # candidate capacity: 4x the fair share covers the converged quota on
+    # all but pathological skew (beyond it the retained set clips here)
+    fair = -(-quota // n_cells)
+    k_cell = int(min(area, max(16, 4 * fair)))
+    top, idx = jax.lax.approx_max_k(cells, k_cell, recall_target=0.99)
+    cid = jnp.arange(n_cells)[:, None]
+    abs_y = border + (cid // cols) * cellH + idx // cellW
+    abs_x = border + (cid % cols) * cellW + idx % cellW
+    return top, abs_x, abs_y, avail
+
+
+def _select_level(lvl, quota: int, rows: int, cols: int, cellH: int,
+                  cellW: int, border: int, th_ini: float, th_min: float):
+    """Single-level selection: _level_pool + redistribution quota mask.
+    Returns (pool [n_cells*k_cell] scores with rank>=q* zeroed, abs_x,
+    abs_y)."""
+    top, abs_x, abs_y, avail = _level_pool(
+        lvl, quota, rows, cols, cellH, cellW, border, th_ini, th_min)
+    q_star = reference_quota(avail, quota)
+    # per-cell retain = min(avail, q*): candidates are score-sorted, so
+    # mask rank >= q*; the caller's global top-k is the retainBest trim
+    k_cell = top.shape[1]
+    top = jnp.where(jnp.arange(k_cell)[None, :] < q_star, top, 0.0)
+    return top.reshape(-1), abs_x.reshape(-1), abs_y.reshape(-1)
+
+
 @partial(
     jax.jit,
     static_argnames=("max_kp", "cell_size", "border", "th_ini", "th_min",
-                     "use_harris"),
+                     "use_harris", "aspect_ratio"),
 )
 def detect_fast_keypoints(
     img,
@@ -113,16 +235,22 @@ def detect_fast_keypoints(
     cell_size: int = 32,
     border: int = 16,
     use_harris: bool = False,
+    aspect_ratio: float = None,
 ):
     """Full FAST detection for one pyramid level.
 
-    Reproduces the reference's policy (src/ORBextractor.cc:536-676): grid
-    cells tried at th_ini first, falling back to th_min in cells with no
-    corner, then keep the strongest `max_kp` overall with per-cell caps
-    providing spatial spread.
+    Reproduces the reference's policy (src/ORBextractor.cc:528-702): the
+    quota-adaptive cell grid, per-cell threshold fallback (th_ini ->
+    th_min when a cell yields <= 3 corners), the starved-cell quota
+    redistribution loop, and the final global retainBest cut.
 
     `use_harris` reproduces nScoreType=0: detection/thresholding stays FAST
     but corners are RANKED by Harris response (src/ORBextractor.cc:616-620).
+    `aspect_ratio` is the reference's imageRatio (level-0 W/H; defaults to
+    this image's W/H — pass the level-0 ratio when processing upper
+    pyramid levels so the grid matches the stacked path exactly).
+    `cell_size` is unused (kept for call-site compatibility; the grid is
+    quota-adaptive now).
 
     Returns (xy [max_kp, 2] int32 (x, y), score [max_kp] f32, valid [max_kp]).
     """
@@ -143,40 +271,13 @@ def detect_fast_keypoints(
     ys = jnp.arange(H)[:, None]
     xs = jnp.arange(W)[None, :]
     in_border = (ys >= border) & (ys < H - border) & (xs >= border) & (xs < W - border)
-
-    # pad to cell multiples
-    nCy = -(-H // cell_size)
-    nCx = -(-W // cell_size)
-    Hp, Wp = nCy * cell_size, nCx * cell_size
-    pad_spec = ((0, Hp - H), (0, Wp - W))
-
     base = jnp.where(keep & in_border, score, 0.0)
-    base = jnp.pad(base, pad_spec)
-    cells = (
-        base.reshape(nCy, cell_size, nCx, cell_size)
-        .transpose(0, 2, 1, 3)
-        .reshape(nCy * nCx, cell_size * cell_size)
-    )
-    # per-cell threshold fallback: if any corner above th_ini, demand th_ini,
-    # else accept th_min
-    cell_has_ini = jnp.max(cells, axis=1) > th_ini
-    cell_th = jnp.where(cell_has_ini, th_ini, th_min)
-    cells = jnp.where(cells > cell_th[:, None], cells, 0.0)
 
-    # per-cell cap: top-k inside each cell for spatial spread
-    n_cells = nCy * nCx
-    k_cell = int(min(max(4, -(-2 * max_kp // n_cells)), cell_size * cell_size))
-    cell_top, cell_idx = jax.lax.top_k(cells, k_cell)  # [n_cells, k_cell]
-
-    # recover absolute coordinates
-    cid = jnp.arange(n_cells)[:, None]
-    cy, cx = cid // nCx, cid % nCx
-    iy, ix = cell_idx // cell_size, cell_idx % cell_size
-    abs_y = (cy * cell_size + iy).reshape(-1)
-    abs_x = (cx * cell_size + ix).reshape(-1)
-    cand_score = cell_top.reshape(-1)
-
-    top_score, sel = jax.lax.top_k(cand_score, max_kp)
+    ratio = aspect_ratio if aspect_ratio is not None else W / H
+    rows, cols, cellH, cellW = reference_grid(H, W, max_kp, ratio, border)
+    pool, abs_x, abs_y = _select_level(
+        base, max_kp, rows, cols, cellH, cellW, border, th_ini, th_min)
+    top_score, sel = jax.lax.top_k(pool, max_kp)  # global retainBest
     xy = jnp.stack([abs_x[sel], abs_y[sel]], axis=-1).astype(jnp.int32)
     valid = top_score > 0.0
     return xy, top_score, valid

@@ -186,7 +186,8 @@ def detect_keypoints_stack_pallas(
     base = fast_score_nms_packed(stack, shapes, BH=64, BW=256, tree=True,
                                  interpret=interpret, border=border)
     return _select_from_masked(base, shapes, quotas, th_ini=th_ini,
-                               th_min=th_min, cell_size=cell_size)
+                               th_min=th_min, cell_size=cell_size,
+                               border=border)
 
 
 @partial(jax.jit, static_argnames=("shapes", "quotas", "K", "th_ini",
@@ -218,9 +219,11 @@ def _detect_cells_fused(stack, shapes: tuple, quotas: tuple, K: int = 4,
     for l in range(Lv):
         v_l = vals[int(starts[l]):int(starts[l + 1])]  # [B_l, nc, K]
         p_l = pos[int(starts[l]):int(starts[l + 1])]
-        cmax = v_l[:, :, 0]  # per-cell max (candidates are sorted)
-        th = jnp.where(cmax > th_ini, th_ini, th_min)
-        v_l = jnp.where(v_l > th[:, :, None], v_l, 0.0)
+        # <=3-corner fallback (src/ORBextractor.cc:607-614); candidates are
+        # score-sorted, so the top-K count bounds the cell count (K >= 4)
+        n_ini = jnp.sum(v_l > th_ini, axis=2, keepdims=True)
+        th = jnp.where(n_ini > 3, th_ini, th_min)
+        v_l = jnp.where(v_l > th, v_l, 0.0)
         v_flat = v_l.reshape(-1)
         p_flat = p_l.reshape(-1)
         padn = row_len - v_flat.shape[0]
@@ -229,7 +232,22 @@ def _detect_cells_fused(stack, shapes: tuple, quotas: tuple, K: int = 4,
     Vm = jnp.stack(v_rows)                      # [L, row_len]
     Pm = jnp.stack(p_rows)
 
-    top_score, sel = jax.lax.top_k(Vm, q_max)   # [L, q_max]
+    # reference redistribution (see _select_from_masked): per-cell retain
+    # min(avail, q*), global score trim. The kernel's per-cell candidate
+    # cap K bounds both avail and the redistribution depth, so this path
+    # diverges from detect_keypoints_stack on heavily texture-skewed
+    # frames unless K is raised to match its k_cell.
+    from orb_slam_tpu.ops.fast import reference_quota
+    avail = jnp.sum(
+        Vm.reshape(Lv, row_len // K, K) > 0.0, axis=2).astype(jnp.int32)
+    # row padding beyond each level's real cell count must not donate quota
+    n_real = jnp.asarray([c * n_cells_blk for c in counts], jnp.int32)
+    active = jnp.arange(row_len // K)[None, :] < n_real[:, None]
+    q_star = jax.vmap(reference_quota)(
+        avail, jnp.asarray(quotas, jnp.int32), active)   # [L]
+    rank = jnp.tile(jnp.arange(K), (row_len // K,))[None, :]
+    key = jnp.where(rank < q_star[:, None], Vm, 0.0)
+    top_score, sel = jax.lax.top_k(key, q_max)  # [L, q_max]
     psel = jnp.take_along_axis(Pm, sel, 1)
     xy = jnp.stack([psel % 65536, psel // 65536], -1).astype(jnp.int32)
     quota_arr = jnp.asarray(quotas)[:, None]
@@ -248,9 +266,9 @@ def select_from_scores(score, keep, shapes, quotas, th_ini=20.0, th_min=7.0,
 
     Same policy as ops/fast.detect_fast_keypoints (the per-level oracle):
     per-cell threshold fallback (th_ini -> th_min, reference
-    src/ORBextractor.cc:540-563), a per-cell top-k cap for spatial spread
-    (the reference's per-cell quota distribution, :644-670), then a global
-    per-level retainBest cut (:678-702). The per-cell top-k runs as ONE
+    src/ORBextractor.cc:540-563), per-cell quota WATER-FILLING with
+    starved-cell redistribution (:644-670), then a global per-level
+    retainBest cut (:678-702). The per-cell top-k runs as ONE
     hardware-accelerated approx_max_k over the cell rows instead of
     k rounds of full-canvas max/argmax/mask extraction (measured 0.29 ->
     ~0.1 ms/frame, PERF.md round 3)."""
@@ -266,55 +284,74 @@ def select_from_scores(score, keep, shapes, quotas, th_ini=20.0, th_min=7.0,
 
     base = jnp.where(keep & in_border, score, 0.0)
     return _select_from_masked(base, shapes, quotas, th_ini=th_ini,
-                               th_min=th_min, cell_size=cell_size)
+                               th_min=th_min, cell_size=cell_size,
+                               border=border)
 
 
 @partial(jax.jit, static_argnames=("shapes", "quotas", "th_ini", "th_min",
-                                   "cell_size"))
+                                   "cell_size", "border"))
 def _select_from_masked(base, shapes, quotas, th_ini=20.0, th_min=7.0,
-                        cell_size=32):
+                        cell_size=32, border=16):
     """Selection core on a PRE-MASKED score canvas (NMS non-maxima and
     out-of-border pixels already zeroed — the Pallas detector emits this
     form directly). Canvas regions OUTSIDE each level's true [h, w) are
     zeroed here: the packed kernel's block table never writes them, so
-    they hold uninitialized memory."""
+    they hold uninitialized memory.
+
+    Selection reproduces the reference per level (src/ORBextractor.cc:
+    528-702): the quota-adaptive cell grid (fair share ~5 corners/cell),
+    the <=3-corner threshold fallback, the starved-cell redistribution
+    loop (ops/fast.reference_quota), and the global retainBest cut. The
+    heavy score front stays batched over levels; the per-level cell
+    reshape + approx_max_k run per level inside one program, and the L
+    quota loops run as ONE vmapped while_loop (reference_quota is
+    documented vmap-safe). `cell_size` is unused (grid is quota-adaptive;
+    kept for call-site compatibility)."""
+    from orb_slam_tpu.ops.fast import (
+        reference_grid, reference_quota, _level_pool,
+    )
+
     Lv, H, W = base.shape
     ys = jnp.arange(H)[None, :, None]
     xs = jnp.arange(W)[None, None, :]
     hs = jnp.asarray([h for h, w in shapes])[:, None, None]
     ws = jnp.asarray([w for h, w in shapes])[:, None, None]
     base = jnp.where((ys < hs) & (xs < ws), base, 0.0)
-    nCy = -(-H // cell_size)
-    nCx = -(-W // cell_size)
-    Hp, Wp = nCy * cell_size, nCx * cell_size
-    base = jnp.pad(base, ((0, 0), (0, Hp - H), (0, Wp - W)))
-    n_cells = nCy * nCx
-    cells = (
-        base.reshape(Lv, nCy, cell_size, nCx, cell_size)
-        .transpose(0, 1, 3, 2, 4)
-        .reshape(Lv * n_cells, cell_size * cell_size)
-    )
+
     q_max = max(quotas)
-    k_cell = int(min(max(4, -(-2 * q_max // n_cells)), cell_size * cell_size))
-    cell_top, cell_idx = jax.lax.approx_max_k(cells, k_cell,
-                                              recall_target=0.99)
-    cell_top = cell_top.reshape(Lv, n_cells, k_cell)
-    cell_idx = cell_idx.reshape(Lv, n_cells, k_cell)
-    # per-cell threshold fallback: top-1 IS the cell max (sorted output)
-    cell_th = jnp.where(cell_top[:, :, :1] > th_ini, th_ini, th_min)
-    cell_top = jnp.where(cell_top > cell_th, cell_top, 0.0)
+    ratio = shapes[0][1] / shapes[0][0]   # the reference's imageRatio (W0/H0)
+    tops, pxs, pys, avails, ranks = [], [], [], [], []
+    for l, ((h, w), quota) in enumerate(zip(shapes, quotas)):
+        rows, cols, cellH, cellW = reference_grid(h, w, quota, ratio, border)
+        top, ax, ay, avail = _level_pool(
+            base[l], quota, rows, cols, cellH, cellW, border, th_ini, th_min)
+        tops.append(top)
+        pxs.append(ax.reshape(-1))
+        pys.append(ay.reshape(-1))
+        avails.append(avail)
+        ranks.append(jnp.tile(jnp.arange(top.shape[1]), (top.shape[0],)))
+    # ONE batched redistribution loop over all levels (padded cell dim;
+    # padding cells are inactive so they neither donate nor absorb quota)
+    C = max(a.shape[0] for a in avails)
+    av = jnp.stack([jnp.pad(a, (0, C - a.shape[0])) for a in avails])
+    act = jnp.arange(C)[None, :] < jnp.asarray(
+        [a.shape[0] for a in avails])[:, None]
+    q_star = jax.vmap(reference_quota)(
+        av, jnp.asarray(quotas, jnp.int32), act)     # [L]
 
-    cid = jnp.arange(n_cells)[None, :, None]
-    cy, cx = cid // nCx, cid % nCx
-    iy, ix = cell_idx // cell_size, cell_idx % cell_size
-    abs_y = (cy * cell_size + iy).reshape(Lv, -1)
-    abs_x = (cx * cell_size + ix).reshape(Lv, -1)
-    cand = cell_top.reshape(Lv, -1)
+    P = max(t.size for t in tops)
+    pool = jnp.stack([jnp.pad(t.reshape(-1), (0, P - t.size)) for t in tops])
+    rank = jnp.stack([jnp.pad(r, (0, P - r.size)) for r in ranks])
+    allx = jnp.stack([jnp.pad(p, (0, P - p.shape[0])) for p in pxs])
+    ally = jnp.stack([jnp.pad(p, (0, P - p.shape[0])) for p in pys])
+    # per-cell retain = min(avail, q*): candidates are score-sorted, so
+    # mask rank >= q*; the global top-k below is the retainBest trim
+    pool = jnp.where(rank < q_star[:, None], pool, 0.0)
 
-    top_score, sel = jax.lax.top_k(cand, q_max)  # [L, q_max]
+    top_score, sel = jax.lax.top_k(pool, q_max)  # [L, q_max] retainBest
     xy = jnp.stack(
-        [jnp.take_along_axis(abs_x, sel, 1),
-         jnp.take_along_axis(abs_y, sel, 1)], -1
+        [jnp.take_along_axis(allx, sel, 1),
+         jnp.take_along_axis(ally, sel, 1)], -1
     ).astype(jnp.int32)
     quota_arr = jnp.asarray(quotas)[:, None]
     valid = (top_score > 0.0) & (

@@ -1,0 +1,188 @@
+"""Starved-cell quota redistribution parity (reference:
+src/ORBextractor.cc:644-670).
+
+The reference distributes each level's feature quota over grid cells;
+cells with fewer corners than their fair share donate the deficit, which
+is re-spread over the remaining cells until convergence — so on
+texture-skewed frames, textured cells supply several times the fair
+share. Our detectors implement the converged fixed point of that loop as
+a single rank-major/score-minor top-k (water-filling). This file checks
+the selection against a NumPy oracle that runs the reference's literal
+iterative loop on the same score map / same grid, on a heavily skewed
+fixture (all texture in the left third of the image)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from orb_slam_tpu.ops.fast import (
+    fast_score_map, nms3x3, detect_fast_keypoints,
+)
+
+
+def skewed_image(rng, h=240, w=320, n_blobs=220):
+    """Texture concentrated in the left third; the rest nearly flat."""
+    img = rng.uniform(45, 55, size=(h, w)).astype(np.float32)
+    for _ in range(n_blobs):
+        y = int(rng.integers(8, h - 8))
+        x = int(rng.integers(8, w // 3))
+        s = int(rng.integers(2, 6))
+        img[max(0, y - s):y + s, max(0, x - s):x + s] = float(
+            rng.uniform(0, 255))
+    # a handful of weak corners elsewhere so starved cells are not empty
+    for _ in range(10):
+        y = int(rng.integers(8, h - 8))
+        x = int(rng.integers(w // 3 + 10, w - 8))
+        img[y - 2:y + 2, x - 2:x + 2] += 12.0
+    return img
+
+
+def reference_redistribution(score, keep, max_kp, th_ini=20.0, th_min=7.0,
+                             border=16):
+    """NumPy oracle: the reference's grid + iterative quota loop,
+    transcribed independently from the C++ (src/ORBextractor.cc:528-543
+    grid sizing, :607-614 threshold fallback, :644-670 redistribution,
+    :678-702 retainBest) on our score map."""
+    H, W = score.shape
+    ys, xs = np.mgrid[0:H, 0:W]
+    in_border = ((ys >= border) & (ys < H - border)
+                 & (xs >= border) & (xs < W - border))
+    base = np.where(keep & in_border, score, 0.0)
+
+    # grid sizing with the reference's int truncations
+    image_ratio = W / H
+    cols = int(np.sqrt(max_kp / (5.0 * image_ratio)))
+    rows = int(image_ratio * cols)
+    cols = max(1, min(cols, W - 2 * border))
+    rows = max(1, min(rows, H - 2 * border))
+    cellW = -(-(W - 2 * border) // cols)
+    cellH = -(-(H - 2 * border) // rows)
+
+    cells = []  # list of (score, y, x) arrays per cell
+    for cy in range(rows):
+        for cx in range(cols):
+            y0 = border + cy * cellH
+            x0 = border + cx * cellW
+            blk = base[y0:y0 + cellH, x0:x0 + cellW]
+            yy, xx = np.nonzero(blk > th_min)
+            sc = blk[yy, xx]
+            # <=3-corner fallback: demand th_ini unless that leaves <=3
+            n_ini = int((sc > th_ini).sum())
+            if n_ini > 3:
+                m = sc > th_ini
+                yy, xx, sc = yy[m], xx[m], sc[m]
+            order = np.argsort(-sc)
+            cells.append((sc[order], yy[order] + y0, xx[order] + x0))
+
+    n_cells = len(cells)
+    n_total = np.array([len(c[0]) for c in cells])
+    fair = -(-max_kp // n_cells)
+    quota = np.full(n_cells, fair)
+    no_more = n_total <= quota
+    n_retain = np.where(no_more, n_total, quota)
+    to_distribute = int(np.maximum(quota - n_total, 0).sum())
+    # the reference's literal loop
+    while to_distribute > 0 and no_more.sum() < n_cells:
+        new_quota = fair + int(np.ceil(to_distribute / (n_cells - no_more.sum())))
+        to_distribute = 0
+        for i in range(n_cells):
+            if not no_more[i]:
+                if n_total[i] > new_quota:
+                    n_retain[i] = new_quota
+                else:
+                    n_retain[i] = n_total[i]
+                    to_distribute += new_quota - n_total[i]
+                    no_more[i] = True
+        fair = new_quota
+    sel_s, sel_y, sel_x = [], [], []
+    for i, (sc, yy, xx) in enumerate(cells):
+        k = int(n_retain[i])
+        sel_s.append(sc[:k]); sel_y.append(yy[:k]); sel_x.append(xx[:k])
+    sc = np.concatenate(sel_s); yy = np.concatenate(sel_y)
+    xx = np.concatenate(sel_x)
+    if len(sc) > max_kp:  # global retainBest
+        order = np.argsort(-sc)[:max_kp]
+        sc, yy, xx = sc[order], yy[order], xx[order]
+    return set(zip(xx.tolist(), yy.tolist()))
+
+
+class TestQuotaRedistribution:
+    def test_skewed_texture_matches_reference_policy(self, rng):
+        img = skewed_image(rng)
+        max_kp = 200
+        score = np.asarray(fast_score_map(jnp.asarray(img)))
+        keep = np.asarray(nms3x3(jnp.asarray(score)))
+        oracle = reference_redistribution(score, keep, max_kp)
+
+        xy, sc, valid = detect_fast_keypoints(jnp.asarray(img),
+                                              max_kp=max_kp)
+        xy, valid = np.asarray(xy), np.asarray(valid)
+        ours = {(int(x), int(y)) for (x, y) in xy[valid].tolist()}
+
+        assert len(oracle) > 100, "fixture produced too few corners"
+        # exact-pixel match, plus NMS-plateau tie tolerance: `score >= mx`
+        # keeps every pixel of an equal-score plateau and top_k/argsort
+        # break the tie differently — count a residual as matched if the
+        # other set holds an equal-score pixel within 2 px
+        inter = len(ours & oracle)
+        for (x, y) in ours - oracle:
+            s = score[y, x]
+            if any(abs(x - xo) <= 2 and abs(y - yo) <= 2
+                   and score[yo, xo] == s for (xo, yo) in oracle - ours):
+                inter += 1
+        union = len(ours | oracle) - (inter - len(ours & oracle))
+        iou = inter / union
+        assert iou >= 0.95, (
+            f"redistribution IoU {iou:.3f} (ours={len(ours)}, "
+            f"oracle={len(oracle)}, inter={inter})")
+
+    def test_textured_cells_absorb_starved_quota(self, rng):
+        """On the skewed fixture, textured cells must contribute well past
+        the flat fair share (the old flat per-cell cap diverged here)."""
+        from orb_slam_tpu.ops.fast import reference_grid
+        img = skewed_image(rng)
+        h, w = img.shape
+        max_kp = 200
+        xy, sc, valid = detect_fast_keypoints(jnp.asarray(img),
+                                              max_kp=max_kp)
+        xy, valid = np.asarray(xy), np.asarray(valid)
+        rows, cols, cellH, cellW = reference_grid(h, w, max_kp, w / h, 16)
+        fair = -(-max_kp // (rows * cols))
+        cell_ids = (np.clip((xy[valid, 1] - 16) // cellH, 0, rows - 1) * cols
+                    + np.clip((xy[valid, 0] - 16) // cellW, 0, cols - 1))
+        counts = np.bincount(cell_ids)
+        assert counts.max() > 1.5 * fair, (
+            f"max per-cell {counts.max()} vs fair {fair}: "
+            "no redistribution happened")
+
+    def test_stacked_coarse_levels_fill_quota(self, rng):
+        """The shared-canvas stacked detector must fill coarse-level quotas
+        even though those levels occupy only a few canvas cells (the old
+        global 2*q/n_cells cap starved them)."""
+        from orb_slam_tpu.ops.fast_stack import (
+            build_pyramid_stack, detect_keypoints_stack,
+        )
+        from orb_slam_tpu.frontend.orb_extractor import ORBConfig
+
+        # densely textured image so every level has plenty of corners
+        img = rng.uniform(40, 80, size=(480, 640)).astype(np.float32)
+        for _ in range(1200):
+            y = int(rng.integers(8, 472)); x = int(rng.integers(8, 632))
+            s = int(rng.integers(2, 7))
+            img[max(0, y - s):y + s, max(0, x - s):x + s] = float(
+                rng.uniform(0, 255))
+        cfg = ORBConfig(n_features=1000, n_levels=8)
+        quotas = tuple(cfg.level_quotas())
+        stack, shapes = build_pyramid_stack(jnp.asarray(img), cfg.n_levels,
+                                            cfg.scale_factor)
+        xy_l, sc_l, valid_l = detect_keypoints_stack(
+            stack, tuple(shapes), quotas, th_ini=cfg.fast_th_ini,
+            th_min=cfg.fast_th_min, cell_size=cfg.cell_size,
+            border=cfg.edge_threshold)
+        v = np.asarray(valid_l)
+        for l in range(cfg.n_levels):
+            # every level should reach >=60% of quota on dense texture;
+            # the coarse levels were previously capped at
+            # occupied_cells * 4 candidates (e.g. 24 < quota 61 at level 7)
+            assert v[l].sum() >= 0.6 * quotas[l], (
+                f"level {l}: {int(v[l].sum())} / quota {quotas[l]}")

@@ -45,10 +45,14 @@ class TestStackedVsPerLevel:
             a = {tuple(p) for p in xy_ref[sel].round(3).tolist()}
             b = {tuple(p) for p in xy_stk[sel].round(3).tolist()}
             inter = len(a & b)
-            # >=95%: the stacked path resizes upper levels with bf16
+            # >=90%: the stacked path resizes upper levels with bf16
             # matmuls (documented fast-path approximation); a few marginal
-            # FAST detections shift vs the exact f32 per-level resize
-            assert inter >= 0.95 * max(len(a), 1), f"level {l}" 
+            # FAST detections shift vs the exact f32 per-level resize.
+            # Since selection is the reference's coupled redistribution,
+            # one flipped marginal corner can shift a cell's converged
+            # quota by 1 and swap the boundary candidate in SEVERAL cells
+            # (was 95% under the old independent per-cell top-k).
+            assert inter >= 0.90 * max(len(a), 1), f"level {l}"
 
         # angles and descriptors agree on keypoints present in BOTH
         # variants (matched by coordinate+level: tiny bf16 score deltas
