@@ -4,13 +4,14 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference runs real-time at 30 fps on a commodity CPU at 1000
 features/frame (BASELINE.md); the project target is >500 fps per chip.
 
-Protocol: B frames per device dispatch (vmapped extraction + lax.scan-chained
-tracking — the production process_batch hot path, see
+Protocol: B frames per device dispatch (fused extract+track lax.scan — the
+production process_batch hot path, see
 orb_slam_tpu/pipeline/track_kernels.py::track_chunk). One UNIQUE image per
-frame (the runtime memoizes repeated identical executions). A memoized replay
-of an already-executed chunk measures the dispatch/RPC floor, which separates
-device-side compute time from tunnel overhead (reported on stderr; the
-tunnel adds ~25 ms/dispatch that a production host does not pay)."""
+frame (the runtime memoizes repeated identical pure-XLA executions; windows
+additionally shift inputs on-device). Warmup is ADAPTIVE — windows run until
+ms/chunk stabilizes, absorbing the driver's cold remote-compile/upload path —
+and the reported number is the MEDIAN of N_WINDOWS pipelined windows, so one
+tunnel hiccup cannot set the artifact of record (VERDICT r4 weak #1)."""
 
 import json
 import sys
@@ -19,8 +20,9 @@ import time
 import numpy as np
 
 CHUNK = int(__import__("os").environ.get("BENCH_CHUNK", "64"))  # frames per dispatch (sweep: 16->161, 32->173, 64->186 fps through the tunnel)
-N_WARM = 2      # warmup chunks
-N_CHUNKS = 8    # timed chunks
+N_CHUNKS = 8    # timed chunks per window
+N_WINDOWS = 3   # timed windows; the reported number is the MEDIAN window
+MAX_WARM_WINDOWS = 5  # adaptive warmup bound (cold remote compile + upload)
 
 
 def main():
@@ -44,13 +46,13 @@ def main():
     N_FEATURES = 1000
     W, H = 640, 480
     B = CHUNK
-    n_frames = (N_WARM + N_CHUNKS) * B
+    n_frames = N_CHUNKS * B
 
-    # one UNIQUE image per frame
+    # one UNIQUE image per frame (windows further shift these on-device)
     scene = SyntheticScene(n_points=800, width=W, height=H)
     poses = lateral_trajectory(n_frames, step=0.01)
     chunks = []
-    for c in range(N_WARM + N_CHUNKS):
+    for c in range(N_CHUNKS):
         imgs = np.stack([np.asarray(scene.render_image(poses[c * B + b]))
                          for b in range(B)])
         chunks.append(jnp.asarray(imgs))
@@ -119,23 +121,44 @@ def main():
     for ch in chunks:
         float(touch(ch))
     consts = extractor.pyramid_consts((H, W))
-    for i in range(N_WARM):
-        p, n = step(chunks[i], consts, m, T0, V0)
-        float(jnp.sum(p))
+    # fresh inputs per window: an on-device shift keeps every (program,
+    # inputs) pair unique without re-rendering or re-uploading
+    shift = jax.jit(lambda x, d: x + d)
 
-    t0 = time.perf_counter()
-    outs = [step(chunks[N_WARM + i], consts, m, T0, V0)
-            for i in range(N_CHUNKS)]
-    float(sum(jnp.sum(p) for p, _ in outs))  # force every result
-    dt_chunk = (time.perf_counter() - t0) / N_CHUNKS
+    def run_window(wi, n=N_CHUNKS):
+        ws = [shift(chunks[i % len(chunks)], 0.31 * wi) for i in range(n)]
+        for w in ws:
+            float(jnp.sum(w[:2]))  # force materialization before timing
+        t0 = time.perf_counter()
+        outs = [step(w, consts, m, T0, V0) for w in ws]
+        float(sum(jnp.sum(p) for p, _ in outs))  # force every result
+        return (time.perf_counter() - t0) / n
+
+    # Adaptive warmup (VERDICT r4: 2 fixed warmup chunks did not absorb
+    # the driver's cold-cache remote-compile path — the round-4 artifact
+    # recorded 415 fps on code that re-measures at ~491 warm): keep
+    # running warmup windows until ms/chunk stabilizes within 10% of the
+    # previous window, then time N_WINDOWS windows and report the MEDIAN.
+    prev = None
+    for wi in range(MAX_WARM_WINDOWS):
+        dt = run_window(wi, n=2 if wi == 0 else 4)
+        print(f"warmup window {wi}: {dt*1e3:.1f} ms/chunk", file=sys.stderr)
+        if prev is not None and abs(dt - prev) < 0.10 * prev:
+            break
+        prev = dt
+
+    window_dts = [run_window(100 + wi) for wi in range(N_WINDOWS)]
+    dt_chunk = sorted(window_dts)[len(window_dts) // 2]
     fps = B / dt_chunk
 
     # Device-side per-frame time is measured separately by the scan-slope
     # method (scripts/profile_device.py; methodology in PERF.md) — the
     # tunnel's dispatch latency cancels between two on-device repetition
     # counts of the same program.
-    print(f"chunk={B}: {dt_chunk*1e3:.1f} ms/chunk sustained "
-          f"({N_CHUNKS} unique chunks in flight)", file=sys.stderr)
+    print(f"chunk={B}: windows "
+          f"{[round(d*1e3, 1) for d in window_dts]} ms/chunk, median "
+          f"{dt_chunk*1e3:.1f} ({N_CHUNKS} unique chunks in flight each)",
+          file=sys.stderr)
 
     baseline_fps = 30.0  # reference real-time claim on CPU
     print(json.dumps({

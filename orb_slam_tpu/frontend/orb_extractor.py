@@ -139,6 +139,16 @@ class ORBExtractor:
             # stencil); interpret-mode emulation on CPU is too slow, so
             # default on only where Mosaic compiles natively
             use_pallas = jax.default_backend() == "tpu"
+        if use_pallas and config.score_harris:
+            # nScoreType=0 (Harris, ORBextractor.cc:616-620): the Pallas
+            # FAST kernel ranks candidates by FAST score in-kernel, so
+            # Harris rescoring routes to the XLA stacked detector, which
+            # computes both maps. Config-time fallback, not a runtime raise.
+            import warnings
+            warnings.warn(
+                "nScoreType=0 (Harris) uses the XLA stacked detector; "
+                "the Pallas FAST kernel path is disabled for this run")
+            use_pallas = False
         self.use_pallas = use_pallas
         self._jitted = {}
 
@@ -189,11 +199,12 @@ def _extract_stacked(img, pyr_consts=None, *, config: ORBConfig,
         img, config.n_levels, config.scale_factor, consts=pyr_consts)
     shapes_t = tuple(shapes)
 
+    if use_pallas and config.score_harris:
+        # defense in depth for direct _extract_stacked callers: the
+        # constructor already routes Harris to the XLA path (see
+        # ORBExtractor.__init__); honor the same fallback here
+        use_pallas = False
     if use_pallas:
-        if config.score_harris:
-            raise NotImplementedError(
-                "nScoreType=0 (Harris) is not supported by the Pallas "
-                "detector; use the default XLA path")
         detect = partial(detect_keypoints_stack_pallas, interpret=False)
         xy_l, score_l, valid_l = detect(
             stack, shapes_t, quotas,

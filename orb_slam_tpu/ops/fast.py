@@ -101,34 +101,43 @@ def nms3x3(score):
 
 
 def reference_quota(avail, max_kp, active=None):
-    """Converged per-cell quota of the reference's starved-cell
-    redistribution loop (src/ORBextractor.cc:644-670), replicated exactly:
-    starting from the fair share ceil(max_kp/n_cells), cells with fewer
-    corners than the quota donate their deficit, which is re-spread
-    (ceil-divided) over the not-yet-saturated cells until no new cell
-    saturates. Each cell then retains min(avail, q*); the over-quota total
-    is trimmed globally by score (retainBest, :678-702).
+    """Per-cell retained-corner counts of the reference's starved-cell
+    redistribution loop (src/ORBextractor.cc:644-670), replicated exactly.
+    Semantics of the C++ loop:
+      - each pass sets nNewFeaturesCell = nfeaturesCell + ceil(d/u) where
+        nfeaturesCell is the CONSTANT initial fair share (:645), d is only
+        THIS pass's newly-recorded deficit (reset to 0 at :646), and u is
+        the count of not-yet-saturated cells — so the quota can shrink
+        between passes and earlier deficits are deliberately dropped
+        (the loop under-fills; retainBest never sees max_kp extras);
+      - a cell that saturates keeps nToRetain = its full count from that
+        pass forever (:660-665), even if a later pass's quota is lower;
+      - active cells carry the LAST pass's quota (:657-659).
+    A single converged scalar q* cannot represent this (saturated cells
+    may retain more than a later, smaller quota), hence the per-cell
+    return.
 
     avail: [n_cells] int32 corner counts (post threshold-fallback).
     max_kp: int32 scalar (or python int).
     active: [n_cells] bool — cells that exist in the level's grid (the
     stacked canvas carries cells beyond a level's extent; the reference's
     grid covers only the image, so phantom cells must not donate quota).
-    Returns q* int32 scalar.
+    Returns retain [n_cells] int32 (0 on inactive cells).
 
     vmap-safe (one while_loop for ALL pyramid levels instead of L
     sequential ones): vmap keeps iterating every batch element until all
     cond's are false, so the body must be a fixed point for converged
-    elements. It is: with d == 0 the body is the identity, and in the only
-    other stopped state (d > 0 with every cell saturated) the body raises
-    q past every avail, which cannot change the retained set
-    min(avail, q). The callers rely on this."""
+    elements. It is: with d == 0 the body keeps q (guarded where) and can
+    mark no new cell (every avail <= q cell was marked the pass that set
+    q), and in the only other stopped state (d > 0 with every cell
+    saturated) q changes but the final retain ignores q on saturated
+    cells. The callers rely on this."""
     n_cells_static = avail.shape[0]
     if active is None:
         active = jnp.ones((n_cells_static,), bool)
     max_kp = jnp.asarray(max_kp, jnp.int32)
     n_cells = jnp.sum(active).astype(jnp.int32)
-    fair = -(-max_kp // jnp.maximum(n_cells, 1))
+    fair = (-(-max_kp // jnp.maximum(n_cells, 1))).astype(jnp.int32)
     no_more0 = active & (avail <= fair)
     d0 = jnp.sum(jnp.where(no_more0, fair - avail, 0)).astype(jnp.int32)
 
@@ -139,14 +148,15 @@ def reference_quota(avail, max_kp, active=None):
     def body(s):
         q, d, no_more = s
         u = n_cells - jnp.sum(no_more)
-        new_q = q + -(-d // jnp.maximum(u, 1))
+        new_q = jnp.where(d > 0, fair + -(-d // jnp.maximum(u, 1)), q)
         newly = active & (~no_more) & (avail <= new_q)
         d2 = jnp.sum(jnp.where(newly, new_q - avail, 0)).astype(jnp.int32)
         return new_q, d2, no_more | newly
 
-    q, _, _ = jax.lax.while_loop(
-        cond, body, (fair.astype(jnp.int32), d0, no_more0))
-    return q
+    q, _, no_more = jax.lax.while_loop(
+        cond, body, (fair, d0, no_more0))
+    retain = jnp.where(no_more, avail, q)
+    return jnp.where(active, retain, 0)
 
 
 def reference_grid(h: int, w: int, quota: int, aspect_ratio: float,
@@ -214,11 +224,14 @@ def _select_level(lvl, quota: int, rows: int, cols: int, cellH: int,
     abs_y)."""
     top, abs_x, abs_y, avail = _level_pool(
         lvl, quota, rows, cols, cellH, cellW, border, th_ini, th_min)
-    q_star = reference_quota(avail, quota)
-    # per-cell retain = min(avail, q*): candidates are score-sorted, so
-    # mask rank >= q*; the caller's global top-k is the retainBest trim
+    retain = reference_quota(avail, quota)
+    # candidates are score-sorted per cell, so retaining the reference's
+    # per-cell count = masking rank >= retain[cell]; the caller's global
+    # top-k is the retainBest trim. Only k_cell candidates were
+    # materialized: retain > k_cell clips there (documented deviation —
+    # k_cell is 4x the fair share, exceeded only under pathological skew).
     k_cell = top.shape[1]
-    top = jnp.where(jnp.arange(k_cell)[None, :] < q_star, top, 0.0)
+    top = jnp.where(jnp.arange(k_cell)[None, :] < retain[:, None], top, 0.0)
     return top.reshape(-1), abs_x.reshape(-1), abs_y.reshape(-1)
 
 

@@ -176,8 +176,10 @@ def detect_keypoints_stack_pallas(
 
     Uses the packed score kernel + the XLA select_from_scores tail. A
     fully-fused variant that also extracts per-cell top-K candidates
-    in-kernel exists (_detect_cells_fused) and is output-identical, but
-    measured SLOWER on v5e (1.05 vs 0.62 ms/frame head-to-head: the
+    in-kernel exists (_detect_cells_fused) and matches on evenly-textured
+    frames but truncates avail at its per-cell K=4, so its redistribution
+    quota diverges on texture-skewed frames; it is also measured SLOWER
+    on v5e (1.05 vs 0.62 ms/frame head-to-head: the
     per-cell reductions run at 32-lane occupancy and the in-kernel
     [32,256] transpose serializes — PERF.md round 3); it is kept for
     narrow-VMEM targets and as the measured record."""
@@ -198,7 +200,9 @@ def _detect_cells_fused(stack, shapes: tuple, quotas: tuple, K: int = 4,
     """Host tail of the cell-fused detector: per-cell two-tier threshold
     (th_ini with th_min fallback, reference src/ORBextractor.cc:540-563)
     on the kernel's per-cell candidates, then per-level quota top-k.
-    Output contract identical to detect_keypoints_stack."""
+    Output SHAPE contract identical to detect_keypoints_stack; values
+    match it only on evenly-textured frames (per-cell avail is truncated
+    at K, see the quota comment below)."""
     from orb_slam_tpu.ops.pallas_fast import (
         fast_cell_topk_packed, cell_block_table,
     )
@@ -232,21 +236,21 @@ def _detect_cells_fused(stack, shapes: tuple, quotas: tuple, K: int = 4,
     Vm = jnp.stack(v_rows)                      # [L, row_len]
     Pm = jnp.stack(p_rows)
 
-    # reference redistribution (see _select_from_masked): per-cell retain
-    # min(avail, q*), global score trim. The kernel's per-cell candidate
-    # cap K bounds both avail and the redistribution depth, so this path
-    # diverges from detect_keypoints_stack on heavily texture-skewed
-    # frames unless K is raised to match its k_cell.
+    # reference redistribution (see _select_from_masked): per-cell
+    # retained counts, then global score trim. The kernel's per-cell
+    # candidate cap K bounds both avail and the redistribution depth, so
+    # this path diverges from detect_keypoints_stack on heavily
+    # texture-skewed frames unless K is raised to match its k_cell.
     from orb_slam_tpu.ops.fast import reference_quota
     avail = jnp.sum(
         Vm.reshape(Lv, row_len // K, K) > 0.0, axis=2).astype(jnp.int32)
     # row padding beyond each level's real cell count must not donate quota
     n_real = jnp.asarray([c * n_cells_blk for c in counts], jnp.int32)
     active = jnp.arange(row_len // K)[None, :] < n_real[:, None]
-    q_star = jax.vmap(reference_quota)(
-        avail, jnp.asarray(quotas, jnp.int32), active)   # [L]
+    retain = jax.vmap(reference_quota)(
+        avail, jnp.asarray(quotas, jnp.int32), active)   # [L, n_cells]
     rank = jnp.tile(jnp.arange(K), (row_len // K,))[None, :]
-    key = jnp.where(rank < q_star[:, None], Vm, 0.0)
+    key = jnp.where(rank < jnp.repeat(retain, K, axis=1), Vm, 0.0)
     top_score, sel = jax.lax.top_k(key, q_max)  # [L, q_max]
     psel = jnp.take_along_axis(Pm, sel, 1)
     xy = jnp.stack([psel % 65536, psel // 65536], -1).astype(jnp.int32)
@@ -320,7 +324,7 @@ def _select_from_masked(base, shapes, quotas, th_ini=20.0, th_min=7.0,
 
     q_max = max(quotas)
     ratio = shapes[0][1] / shapes[0][0]   # the reference's imageRatio (W0/H0)
-    tops, pxs, pys, avails, ranks = [], [], [], [], []
+    tops, pxs, pys, avails, ranks, cellids = [], [], [], [], [], []
     for l, ((h, w), quota) in enumerate(zip(shapes, quotas)):
         rows, cols, cellH, cellW = reference_grid(h, w, quota, ratio, border)
         top, ax, ay, avail = _level_pool(
@@ -330,23 +334,26 @@ def _select_from_masked(base, shapes, quotas, th_ini=20.0, th_min=7.0,
         pys.append(ay.reshape(-1))
         avails.append(avail)
         ranks.append(jnp.tile(jnp.arange(top.shape[1]), (top.shape[0],)))
+        cellids.append(jnp.repeat(jnp.arange(top.shape[0]), top.shape[1]))
     # ONE batched redistribution loop over all levels (padded cell dim;
     # padding cells are inactive so they neither donate nor absorb quota)
     C = max(a.shape[0] for a in avails)
     av = jnp.stack([jnp.pad(a, (0, C - a.shape[0])) for a in avails])
     act = jnp.arange(C)[None, :] < jnp.asarray(
         [a.shape[0] for a in avails])[:, None]
-    q_star = jax.vmap(reference_quota)(
-        av, jnp.asarray(quotas, jnp.int32), act)     # [L]
+    retain = jax.vmap(reference_quota)(
+        av, jnp.asarray(quotas, jnp.int32), act)     # [L, C] per-cell
 
     P = max(t.size for t in tops)
     pool = jnp.stack([jnp.pad(t.reshape(-1), (0, P - t.size)) for t in tops])
     rank = jnp.stack([jnp.pad(r, (0, P - r.size)) for r in ranks])
+    cid = jnp.stack([jnp.pad(c, (0, P - c.size)) for c in cellids])
     allx = jnp.stack([jnp.pad(p, (0, P - p.shape[0])) for p in pxs])
     ally = jnp.stack([jnp.pad(p, (0, P - p.shape[0])) for p in pys])
-    # per-cell retain = min(avail, q*): candidates are score-sorted, so
-    # mask rank >= q*; the global top-k below is the retainBest trim
-    pool = jnp.where(rank < q_star[:, None], pool, 0.0)
+    # candidates are score-sorted per cell, so the reference's per-cell
+    # retained count = masking rank >= retain[cell]; the global top-k
+    # below is the retainBest trim
+    pool = jnp.where(rank < jnp.take_along_axis(retain, cid, 1), pool, 0.0)
 
     top_score, sel = jax.lax.top_k(pool, q_max)  # [L, q_max] retainBest
     xy = jnp.stack(

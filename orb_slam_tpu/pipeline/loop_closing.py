@@ -171,10 +171,11 @@ class LoopCloser:
                 return [], ids, w
             # min score among covisible neighbors (LoopClosing.cc:114-131),
             # computed under the database lock (the mapper thread may be
-            # adding/erasing concurrently). 0.05 fallback when no covisible
-            # has a BoW entry yet — the reference would keep its initial
-            # minScore=1, but always has covisibles by the time loops can
-            # exist; the floor only matters in tiny synthetic maps.
+            # adding/erasing concurrently). With no covisible BoW entries
+            # the reference keeps its initial minScore=1, admitting no
+            # candidate — required under perceptual aliasing, where a
+            # fixed floor admits look-alike keyframes from distinct
+            # places (tests/test_perceptual_aliasing.py).
             min_score = self.db.min_covisible_score(ids, w, covis)
 
             cands = self.db.detect_loop_candidates(

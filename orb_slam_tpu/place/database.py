@@ -78,13 +78,19 @@ class KeyFrameDatabase:
         return ids, w, nodes
 
     @_locked
-    def min_covisible_score(self, ids, w, covisible_slots, default=0.05):
+    def min_covisible_score(self, ids, w, covisible_slots, default=1.0):
         """Min L1 score of the query vs its active covisible keyframes —
         the loop-detection score floor (LoopClosing::DetectLoop,
         LoopClosing.cc:114-131). Runs under the database lock so a
         concurrent add/erase from the mapper thread cannot tear an
         (ids, w) pair mid-read. ONE vmapped dispatch over all keyframes
-        (round 3 issued one l1_score dispatch per covisible)."""
+        (round 3 issued one l1_score dispatch per covisible).
+
+        With no active covisibles the reference's minScore stays at its
+        initialisation value 1.0 (LoopClosing.cc:114), which admits no
+        candidate — the safe behavior under perceptual aliasing
+        (tests/test_perceptual_aliasing.py). An earlier synthetic-corpus
+        floor of 0.05 admitted aliased candidates here and was retired."""
         act = [c for c in covisible_slots if self.active[c]]
         if not act:
             return default

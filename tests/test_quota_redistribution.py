@@ -20,12 +20,12 @@ from orb_slam_tpu.ops.fast import (
 )
 
 
-def skewed_image(rng, h=240, w=320, n_blobs=220):
-    """Texture concentrated in the left third; the rest nearly flat."""
+def skewed_image(rng, h=240, w=320, n_blobs=220, frac=3):
+    """Texture concentrated in the left 1/frac; the rest nearly flat."""
     img = rng.uniform(45, 55, size=(h, w)).astype(np.float32)
     for _ in range(n_blobs):
         y = int(rng.integers(8, h - 8))
-        x = int(rng.integers(8, w // 3))
+        x = int(rng.integers(8, w // frac))
         s = int(rng.integers(2, 6))
         img[max(0, y - s):y + s, max(0, x - s):x + s] = float(
             rng.uniform(0, 255))
@@ -81,7 +81,10 @@ def reference_redistribution(score, keep, max_kp, th_ini=20.0, th_min=7.0,
     no_more = n_total <= quota
     n_retain = np.where(no_more, n_total, quota)
     to_distribute = int(np.maximum(quota - n_total, 0).sum())
-    # the reference's literal loop
+    # the reference's literal loop: the base `fair` (nfeaturesCell) stays
+    # CONSTANT across passes (ORBextractor.cc:645) and each pass counts
+    # only its own newly-recorded deficit (:646) — the quota may shrink
+    # and the loop under-fills; both quirks are part of the contract
     while to_distribute > 0 and no_more.sum() < n_cells:
         new_quota = fair + int(np.ceil(to_distribute / (n_cells - no_more.sum())))
         to_distribute = 0
@@ -93,7 +96,6 @@ def reference_redistribution(score, keep, max_kp, th_ini=20.0, th_min=7.0,
                     n_retain[i] = n_total[i]
                     to_distribute += new_quota - n_total[i]
                     no_more[i] = True
-        fair = new_quota
     sel_s, sel_y, sel_x = [], [], []
     for i, (sc, yy, xx) in enumerate(cells):
         k = int(n_retain[i])
@@ -104,6 +106,83 @@ def reference_redistribution(score, keep, max_kp, th_ini=20.0, th_min=7.0,
         order = np.argsort(-sc)[:max_kp]
         sc, yy, xx = sc[order], yy[order], xx[order]
     return set(zip(xx.tolist(), yy.tolist()))
+
+
+def _cpp_retain(n_total, max_kp):
+    """Literal transcription of ORBextractor.cc:624-670 on raw counts."""
+    n_cells = len(n_total)
+    fair = -(-max_kp // n_cells)
+    no_more = np.zeros(n_cells, bool)
+    n_retain = np.zeros(n_cells, np.int64)
+    to_distribute = 0
+    for i in range(n_cells):
+        if n_total[i] > fair:
+            n_retain[i] = fair
+        else:
+            n_retain[i] = n_total[i]
+            to_distribute += fair - n_total[i]
+            no_more[i] = True
+    while to_distribute > 0 and no_more.sum() < n_cells:
+        new_quota = fair + int(
+            np.ceil(to_distribute / (n_cells - no_more.sum())))
+        to_distribute = 0
+        for i in range(n_cells):
+            if not no_more[i]:
+                if n_total[i] > new_quota:
+                    n_retain[i] = new_quota
+                else:
+                    n_retain[i] = n_total[i]
+                    to_distribute += new_quota - n_total[i]
+                    no_more[i] = True
+    return n_retain
+
+
+class TestReferenceQuotaParity:
+    def test_per_cell_retain_matches_cpp_loop(self, rng):
+        """reference_quota must equal the literal C++ loop per cell —
+        including the const-base quirk (quota recomputed from the
+        ORIGINAL fair share each pass, so it can shrink and saturated
+        cells keep their full counts from the pass they saturated in)."""
+        from orb_slam_tpu.ops.fast import reference_quota
+        import jax
+
+        for case in range(60):
+            n_cells = int(rng.integers(4, 60))
+            max_kp = int(rng.integers(10, 500))
+            style = case % 3
+            if style == 0:       # uniform
+                avail = rng.integers(0, 40, size=n_cells)
+            elif style == 1:     # heavy skew: few dense cells
+                avail = rng.integers(0, 4, size=n_cells)
+                dense = rng.integers(0, n_cells, size=max(1, n_cells // 6))
+                avail[dense] = rng.integers(50, 400, size=dense.shape)
+            else:                # staircase (multi-pass shrink cases)
+                avail = np.sort(rng.integers(0, 120, size=n_cells))
+            expect = _cpp_retain(avail.astype(np.int64), max_kp)
+            got = np.asarray(reference_quota(
+                jnp.asarray(avail, jnp.int32), max_kp))
+            assert np.array_equal(got, expect), (
+                f"case {case}: avail={avail.tolist()} max_kp={max_kp}\n"
+                f"got    ={got.tolist()}\nexpect ={expect.tolist()}")
+
+    def test_vmap_matches_sequential(self, rng):
+        """The vmapped while_loop (one loop for all levels) must agree
+        with running each level alone — the fixed-point property the
+        docstring promises."""
+        from orb_slam_tpu.ops.fast import reference_quota
+        import jax
+
+        L, C = 8, 48
+        avail = rng.integers(0, 200, size=(L, C)).astype(np.int32)
+        quotas = rng.integers(20, 300, size=L).astype(np.int32)
+        active = rng.uniform(size=(L, C)) < 0.8
+        batched = np.asarray(jax.vmap(reference_quota)(
+            jnp.asarray(avail), jnp.asarray(quotas), jnp.asarray(active)))
+        for l in range(L):
+            solo = np.asarray(reference_quota(
+                jnp.asarray(avail[l]), int(quotas[l]),
+                jnp.asarray(active[l])))
+            assert np.array_equal(batched[l], solo), f"level {l}"
 
 
 class TestQuotaRedistribution:
@@ -137,10 +216,14 @@ class TestQuotaRedistribution:
             f"oracle={len(oracle)}, inter={inter})")
 
     def test_textured_cells_absorb_starved_quota(self, rng):
-        """On the skewed fixture, textured cells must contribute well past
-        the flat fair share (the old flat per-cell cap diverged here)."""
+        """On a strongly starved fixture (texture confined to the left
+        sixth, most cells nearly empty), textured cells must contribute
+        well past the flat fair share (the old flat per-cell cap diverged
+        here). Note the reference loop deliberately under-fills on MILDLY
+        skewed frames (const-base quota, ORBextractor.cc:645) — strong
+        redistribution only appears when many cells donate."""
         from orb_slam_tpu.ops.fast import reference_grid
-        img = skewed_image(rng)
+        img = skewed_image(rng, frac=6)
         h, w = img.shape
         max_kp = 200
         xy, sc, valid = detect_fast_keypoints(jnp.asarray(img),
