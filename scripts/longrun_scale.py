@@ -48,13 +48,25 @@ def main():
     from orb_slam_tpu.slam_map import MapConfig
 
     n = args.frames
-    # a big ring: ~2.4 frames/degree, keyframe every ~3-4 frames under the
-    # forced policy -> ~450 KFs by the time the orbit closes
-    scene = SyntheticScene(n_points=6000, seed=91, ring=True,
-                           depth_range=(9.0, 14.0), extent=(0, 4.0, 0),
+    # LARGE-radius ring (the NewCollege-style scale regime): wall radius
+    # ~100 m, orbit radius 95.4 m -> viewing depth ~4.6 m, so the visible
+    # arc of the world is only ~3.4 deg and consecutive keyframes
+    # decorrelate fast. Each world point is seen by ~3.5 keyframes — right
+    # at the reference's 90%-redundancy cull boundary (LocalMapping.cc:
+    # 524-578) — so live keyframes GROW with trajectory length instead of
+    # saturating at the ~100 a small dwell-ring retains (a small ring's
+    # whole world fits a few dozen non-redundant views; km-scale
+    # trajectories are what the essential graph exists for,
+    # Optimizer.cc:540-789). ~0.24 deg/frame, keyframe every ~4 frames
+    # -> ~400 live KFs by the 360-deg wrap, where an ORGANIC loop closure
+    # must fire in the >384-KF regime.
+    scene = SyntheticScene(n_points=16000, seed=91, ring=True,
+                           depth_range=(99.0, 101.5), extent=(0, 2.0, 0),
                            width=640, height=480)
-    poses = ring_trajectory(n, orbit_radius=3.0,
-                            total_angle=2.0 * np.pi * 1.06)
+    # constant 0.24 deg/frame regardless of --frames (short probe runs
+    # keep the production angular rate and KF density)
+    poses = ring_trajectory(n, orbit_radius=95.4,
+                            total_angle=np.deg2rad(385.0 * n / 1600.0))
 
     cfg = SlamConfig(
         camera=CameraModel.create(scene.fx, scene.fy, scene.cx, scene.cy,
@@ -72,9 +84,11 @@ def main():
     system = SLAMSystem(cfg)
 
     mapper_times = []   # (n_kf_at_step, seconds)
+    loop_events = []    # (frame, live KFs at closure)
     est = {}
     t_start = time.time()
     prev_kf = 0
+    prev_loops = 0
     for i in range(n):
         feats = scene.observe(poses[i], n_slots=320, pix_noise=0.4,
                               desc_bit_noise=5)
@@ -85,6 +99,9 @@ def main():
         if nk > prev_kf:  # this frame triggered a keyframe integration
             mapper_times.append((nk, dt))
             prev_kf = nk
+        if system.n_loops_closed > prev_loops:
+            loop_events.append((i, nk))
+            prev_loops = system.n_loops_closed
         if T is not None:
             est[i] = T
         if i % 100 == 0:
@@ -113,6 +130,10 @@ def main():
         "n_keyframes_final": int(system.n_keyframes),
         "n_points_final": int(system.n_points),
         "loops_closed": int(system.n_loops_closed),
+        # (frame, live keyframes) at each closure: the essential-graph
+        # solver is CG at this capacity (loop_closing.py dense<=384 cap);
+        # a closure with >384 LIVE keyframes is the scale-regime evidence
+        "loop_events_kf": [[int(f), int(k)] for f, k in loop_events],
         "cg_regime": bool(system.n_keyframes > 384),
         "mapper_s_per_kf_quartiles": quartiles,
         "flat_scaling": bool(flat),

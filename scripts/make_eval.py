@@ -194,11 +194,17 @@ def ring_pose(phi, radius, center=(0.0, 0.0, 0.0)):
 def kidnap_trajectory():
     """Kidnapped-camera sequence (the reference's Example.bag behavioral
     spec: 'a loop closure and two relocalisations from a big viewpoint
-    change', README.md:150-172): orbit 0->180deg, 8 covered (blank) frames,
-    teleport BACK to 60deg at a different orbit radius (mapped region, new
-    viewpoint), orbit to 195deg, 8 more blank frames, teleport to 100deg at
-    a third radius. Tracking must go LOST at each cut and relocalise from
-    the BoW database + EPnP when the scene reappears."""
+    change', README.md:150-172): orbit 0->150deg, 8 covered (blank) frames,
+    teleport BACK to 60deg at a nearer orbit radius (mapped region, new
+    viewpoint) and keep orbiting through NEW territory to 320deg, 8 more
+    blank frames, teleport to 280deg at a third radius and orbit past 360
+    into the start arc. Tracking must go LOST at each cut and relocalise
+    from the BoW database + EPnP when the scene reappears; the final
+    wrap past 360deg re-enters the start arc long after covisibility to
+    it is gone, so an ORGANIC loop closure must fire there (round-4's
+    trajectory never left mapped territory after relocalising — revisits
+    stayed covisibility-connected and no loop was geometrically possible,
+    VERDICT r4 #2)."""
     deg = np.pi / 180.0
     poses, blank = [], []
 
@@ -212,12 +218,12 @@ def kidnap_trajectory():
             poses.append(poses[-1].copy())
             blank.append(True)
 
-    seg(0.0, 180.0, 120, 4.0)     # map half the ring
+    seg(0.0, 150.0, 100, 4.0)     # map the start arc
     gap(8)                        # kidnap 1 (occlusion)
-    seg(60.0, 195.0, 90, 3.5)     # reloc 1: mapped region, nearer orbit
+    seg(60.0, 320.0, 170, 3.6)    # reloc 1 in mapped arc, then NEW ring
     gap(8)                        # kidnap 2
-    seg(100.0, 190.0, 60, 4.4)    # reloc 2: mapped region, farther orbit
-    return np.stack(poses), np.array(blank)
+    seg(280.0, 420.0, 95, 4.2)    # reloc 2, wrap past 360 -> loop closure,
+    return np.stack(poses), np.array(blank)  # then re-anchored revisit arc
 
 
 def main():
