@@ -89,6 +89,56 @@ def main():
     t_start = time.time()
     prev_kf = 0
     prev_loops = 0
+
+    def snapshot(frames_done):
+        """Aggregate stats over the frames processed so far and write the
+        artifact — called every 100 frames so a host restart mid-run still
+        leaves the last checkpoint on disk."""
+        secs = np.array([s for _, s in mapper_times])
+        # drop compile-dominated warmup: first 10 integrations
+        sec_c = secs[10:]
+        if len(sec_c) >= 8:
+            qs = np.array_split(np.arange(len(sec_c)), 4)
+            quartiles = [round(float(sec_c[q].mean()), 3) for q in qs]
+            flat = quartiles[3] < 2.0 * quartiles[0]
+        else:
+            quartiles, flat = [], True
+        ids = sorted(est.keys())
+        C_est = camera_centers_from_cw(np.stack([est[i] for i in ids]))
+        C_gt = camera_centers_from_cw(poses[ids])
+        rmse, _ = ate_rmse(C_est, C_gt)
+        traj_len = float(np.sum(np.linalg.norm(np.diff(C_gt, axis=0),
+                                               axis=1)))
+        out = {
+            "metric": "mapper_integration_time_vs_map_size",
+            "n_frames": frames_done,
+            "n_frames_planned": n,
+            "partial": frames_done < n,
+            "n_keyframes_final": int(system.n_keyframes),
+            "n_points_final": int(system.n_points),
+            "loops_closed": int(system.n_loops_closed),
+            # (frame, live keyframes) at each closure: the essential-graph
+            # solver is CG at this capacity (loop_closing.py dense<=384
+            # cap); a closure with >384 LIVE keyframes is the scale-regime
+            # evidence
+            "loop_events_kf": [[int(f), int(k)] for f, k in loop_events],
+            "cg_regime": bool(system.n_keyframes > 384),
+            "mapper_s_per_kf_quartiles": quartiles,
+            "flat_scaling": bool(flat),
+            "ate_rmse": round(float(rmse), 3),
+            "trajectory_length": round(traj_len, 2),
+            "ate_over_length_pct": round(100.0 * rmse / traj_len, 2),
+            "wall_s": round(time.time() - t_start, 1),
+            "config": {"max_keyframes": 1024, "max_points": 32768,
+                       "max_ba_cams": cfg.max_ba_cams,
+                       "oracle_features": True},
+        }
+        tmp_path = args.out + ".tmp"
+        with open(tmp_path, "w") as f:
+            json.dump(out, f, indent=1)
+        os.replace(tmp_path, args.out)
+        return out, flat
+
     for i in range(n):
         feats = scene.observe(poses[i], n_slots=320, pix_noise=0.4,
                               desc_bit_noise=5)
@@ -108,45 +158,11 @@ def main():
             print(f"\rframe {i}/{n} kf={nk} pts={system.n_points} "
                   f"loops={system.n_loops_closed} "
                   f"({time.time()-t_start:.0f}s)", end="", file=sys.stderr)
+            if i > 0:
+                snapshot(i)
     print(file=sys.stderr)
 
-    kf_counts = np.array([k for k, _ in mapper_times])
-    secs = np.array([s for _, s in mapper_times])
-    # drop compile-dominated warmup: first 10 integrations
-    kf_c, sec_c = kf_counts[10:], secs[10:]
-    qs = np.array_split(np.arange(len(sec_c)), 4)
-    quartiles = [round(float(sec_c[q].mean()), 3) for q in qs]
-    flat = quartiles[3] < 2.0 * quartiles[0]
-
-    ids = sorted(est.keys())
-    C_est = camera_centers_from_cw(np.stack([est[i] for i in ids]))
-    C_gt = camera_centers_from_cw(poses[ids])
-    rmse, _ = ate_rmse(C_est, C_gt)
-    traj_len = float(np.sum(np.linalg.norm(np.diff(C_gt, axis=0), axis=1)))
-
-    out = {
-        "metric": "mapper_integration_time_vs_map_size",
-        "n_frames": n,
-        "n_keyframes_final": int(system.n_keyframes),
-        "n_points_final": int(system.n_points),
-        "loops_closed": int(system.n_loops_closed),
-        # (frame, live keyframes) at each closure: the essential-graph
-        # solver is CG at this capacity (loop_closing.py dense<=384 cap);
-        # a closure with >384 LIVE keyframes is the scale-regime evidence
-        "loop_events_kf": [[int(f), int(k)] for f, k in loop_events],
-        "cg_regime": bool(system.n_keyframes > 384),
-        "mapper_s_per_kf_quartiles": quartiles,
-        "flat_scaling": bool(flat),
-        "ate_rmse": round(float(rmse), 3),
-        "trajectory_length": round(traj_len, 2),
-        "ate_over_length_pct": round(100.0 * rmse / traj_len, 2),
-        "wall_s": round(time.time() - t_start, 1),
-        "config": {"max_keyframes": 1024, "max_points": 32768,
-                   "max_ba_cams": cfg.max_ba_cams,
-                   "oracle_features": True},
-    }
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=1)
+    out, flat = snapshot(n)
     print(json.dumps(out), file=sys.stderr)
     if not flat:
         raise SystemExit("mapper time grew with map size")

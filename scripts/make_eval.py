@@ -228,7 +228,7 @@ def kidnap_trajectory():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="EVAL_r04.json")
+    ap.add_argument("--out", default="EVAL_r05.json")
     ap.add_argument("--frames", type=int, default=260)
     ap.add_argument("--tpu-ring", action="store_true",
                     help="also run the ring sequence on the default "
@@ -286,7 +286,15 @@ def main():
     if args.only:
         seqs = [s for s in seqs if s["name"] == args.only]
 
-    results = [run_one(**s) for s in seqs]
+    # run the highest-value sequences first: with per-sequence
+    # checkpointing, a cut-off suite still records them
+    prio = {"kidnap_reloc_dist": 0, "ring_loop_dist": 1,
+            "ring_loop_dist_tpu": 2, "lateral_vo_dist": 3}
+    seqs.sort(key=lambda s: prio.get(s["name"], 9))
+
+    # checkpoint after every sequence so a crash/restart mid-suite still
+    # leaves a valid artifact with the completed sequences
+    results = []
     out = {
         "metric": "ate_rmse_keyframe_trajectory",
         "protocol": "TUM keyframe trajectory vs ground truth, Sim3-aligned "
@@ -300,8 +308,11 @@ def main():
                     "change (README.md:150-172).",
         "sequences": results,
     }
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=1)
+    for s in seqs:
+        results.append(run_one(**s))
+        out["partial"] = len(results) < len(seqs)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
     print(json.dumps(out), file=sys.stderr)
 
 
