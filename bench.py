@@ -20,7 +20,7 @@ import time
 import numpy as np
 
 CHUNK = int(__import__("os").environ.get("BENCH_CHUNK", "64"))  # frames per dispatch (sweep: 16->161, 32->173, 64->186 fps through the tunnel)
-N_CHUNKS = 8    # timed chunks per window
+N_CHUNKS = int(__import__("os").environ.get("BENCH_NCHUNKS", "8"))  # timed chunks per window
 N_WINDOWS = 3   # timed windows; the reported number is the MEDIAN window
 MAX_WARM_WINDOWS = 5  # adaptive warmup bound (cold remote compile + upload)
 
