@@ -305,15 +305,27 @@ def _select_from_masked(base, shapes, quotas, th_ini=20.0, th_min=7.0,
     Selection reproduces the reference per level (src/ORBextractor.cc:
     528-702): the quota-adaptive cell grid (fair share ~5 corners/cell),
     the <=3-corner threshold fallback, the starved-cell redistribution
-    loop (ops/fast.reference_quota), and the global retainBest cut. The
-    heavy score front stays batched over levels; the per-level cell
-    reshape + approx_max_k run per level inside one program, and the L
-    quota loops run as ONE vmapped while_loop (reference_quota is
-    documented vmap-safe). `cell_size` is unused (grid is quota-adaptive;
-    kept for call-site compatibility)."""
-    from orb_slam_tpu.ops.fast import (
-        reference_grid, reference_quota, _level_pool,
-    )
+    loop (ops/fast.reference_quota), and the global retainBest cut.
+
+    Layout-free formulation: the per-cell stats (threshold-fallback
+    counts, avail) come from free row-major reshapes of the grid region
+    ([rows, cellH, cols, cellW] is a VIEW of [rows*cellH, cols*cellW]) +
+    strided reduces — the cell-MAJOR transpose the previous version
+    materialized per level never happens. Candidates come from ONE flat
+    approx_max_k over the level's region (score-global pool of 8x the
+    level quota); per-cell score ranks then cost one small lexicographic
+    sort of the pool keyed (cell, -score), with rank = position - segment
+    start. The L quota loops still run as ONE vmapped while_loop
+    (reference_quota is documented vmap-safe).
+
+    Candidate-capacity note: a cell's retained set clips only if the
+    8*quota score-global pool truncates it — i.e. >8x the level quota of
+    above-threshold corners level-wide AND the cell's weakest retained
+    corner below the pool cutoff (the previous per-cell cap
+    k_cell=4*ceil(quota/n_cells) clipped far earlier under redistribution
+    skew). `cell_size` is unused (grid is quota-adaptive; kept for
+    call-site compatibility)."""
+    from orb_slam_tpu.ops.fast import reference_grid, reference_quota
 
     Lv, H, W = base.shape
     ys = jnp.arange(H)[None, :, None]
@@ -324,32 +336,61 @@ def _select_from_masked(base, shapes, quotas, th_ini=20.0, th_min=7.0,
 
     q_max = max(quotas)
     ratio = shapes[0][1] / shapes[0][0]   # the reference's imageRatio (W0/H0)
-    tops, pxs, pys, avails, ranks, cellids = [], [], [], [], [], []
-    for l, ((h, w), quota) in enumerate(zip(shapes, quotas)):
-        rows, cols, cellH, cellW = reference_grid(h, w, quota, ratio, border)
-        top, ax, ay, avail = _level_pool(
-            base[l], quota, rows, cols, cellH, cellW, border, th_ini, th_min)
-        tops.append(top)
-        pxs.append(ax.reshape(-1))
-        pys.append(ay.reshape(-1))
-        avails.append(avail)
-        ranks.append(jnp.tile(jnp.arange(top.shape[1]), (top.shape[0],)))
-        cellids.append(jnp.repeat(jnp.arange(top.shape[0]), top.shape[1]))
+    grids = [reference_grid(h, w, q, ratio, border)
+             for (h, w), q in zip(shapes, quotas)]
+    k_tots = [int(min(rows * cellH * cols * cellW, 2 * q))
+              for (rows, cols, cellH, cellW), q in zip(grids, quotas)]
+    P = max(k_tots)
+    C = max(rows * cols for rows, cols, _, _ in grids)
+
+    vals, pxs, pys, cellids, ranks, avails = [], [], [], [], [], []
+    for l, ((h, w), quota, grid, k_tot) in enumerate(
+            zip(shapes, quotas, grids, k_tots)):
+        rows, cols, cellH, cellW = grid
+        RH, RW = rows * cellH, cols * cellW
+        region = base[l, border:min(border + RH, H),
+                      border:min(border + RW, W)]
+        region = jnp.pad(region, ((0, RH - region.shape[0]),
+                                  (0, RW - region.shape[1])))
+        cells4 = region.reshape(rows, cellH, cols, cellW)  # free reshape
+        # threshold fallback: retry a cell at th_min when FAST at th_ini
+        # yields <= 3 corners (src/ORBextractor.cc:607-614)
+        n_ini = jnp.sum(cells4 > th_ini, axis=(1, 3))
+        cell_th = jnp.where(n_ini > 3, th_ini, th_min)     # [rows, cols]
+        masked4 = jnp.where(cells4 > cell_th[:, None, :, None], cells4, 0.0)
+        avail = jnp.sum(masked4 > 0.0, axis=(1, 3)).astype(jnp.int32)
+        val, idx = jax.lax.approx_max_k(
+            masked4.reshape(RH * RW), k_tot, recall_target=0.99)
+        y = idx // RW
+        x = idx % RW
+        ci = (y // cellH) * cols + x // cellW
+        ci = jnp.where(val > 0.0, ci, rows * cols)  # empty slots group last
+        # ONE lexicographic sort: cell-major, score-descending within cell
+        ci, nv, x, y = jax.lax.sort((ci, -val, x, y), num_keys=2)
+        ar = jnp.arange(k_tot)
+        first = jnp.concatenate([jnp.ones((1,), bool), ci[1:] != ci[:-1]])
+        rank = ar - jax.lax.cummax(jnp.where(first, ar, 0))
+        pad = P - k_tot
+        vals.append(jnp.pad(-nv, (0, pad)))
+        pxs.append(jnp.pad(x + border, (0, pad)))
+        pys.append(jnp.pad(y + border, (0, pad)))
+        cellids.append(jnp.pad(jnp.minimum(ci, rows * cols - 1), (0, pad)))
+        ranks.append(jnp.pad(rank, (0, pad), constant_values=P))
+        avails.append(jnp.pad(avail.reshape(-1), (0, C - rows * cols)))
+
     # ONE batched redistribution loop over all levels (padded cell dim;
     # padding cells are inactive so they neither donate nor absorb quota)
-    C = max(a.shape[0] for a in avails)
-    av = jnp.stack([jnp.pad(a, (0, C - a.shape[0])) for a in avails])
+    av = jnp.stack(avails)
     act = jnp.arange(C)[None, :] < jnp.asarray(
-        [a.shape[0] for a in avails])[:, None]
+        [r * c for r, c, _, _ in grids])[:, None]
     retain = jax.vmap(reference_quota)(
         av, jnp.asarray(quotas, jnp.int32), act)     # [L, C] per-cell
 
-    P = max(t.size for t in tops)
-    pool = jnp.stack([jnp.pad(t.reshape(-1), (0, P - t.size)) for t in tops])
-    rank = jnp.stack([jnp.pad(r, (0, P - r.size)) for r in ranks])
-    cid = jnp.stack([jnp.pad(c, (0, P - c.size)) for c in cellids])
-    allx = jnp.stack([jnp.pad(p, (0, P - p.shape[0])) for p in pxs])
-    ally = jnp.stack([jnp.pad(p, (0, P - p.shape[0])) for p in pys])
+    pool = jnp.stack(vals)                           # [L, P]
+    rank = jnp.stack(ranks)
+    cid = jnp.stack(cellids)
+    allx = jnp.stack(pxs)
+    ally = jnp.stack(pys)
     # candidates are score-sorted per cell, so the reference's per-cell
     # retained count = masking rank >= retain[cell]; the global top-k
     # below is the retainBest trim

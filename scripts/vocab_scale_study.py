@@ -49,6 +49,9 @@ def synth_full_tree(k: int, L: int, seed: int = 0):
                              + np.arange(k, dtype=np.int64)[None, :])
 
     node_desc = rng.integers(0, 2 ** 32, (n_nodes, 8), dtype=np.uint32)
+    node_desc[0] = 0  # root descriptor is not stored in the text format
+    # (TemplatedVocabulary.h saveToTextFile writes non-root nodes only)
+    # and never consulted during descent
     is_leaf = np.zeros(n_nodes, bool)
     is_leaf[n_internal:] = True
     word_of_node = np.full(n_nodes, -1, np.int32)
