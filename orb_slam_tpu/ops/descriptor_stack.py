@@ -69,17 +69,30 @@ def rbrief_stack(blurred_stack, level, xy, angles, shapes):
     return jnp.sum(bits * weights[None, None, :], axis=-1, dtype=jnp.uint8)
 
 
-def extract_patches_batch(stack, xy_l, shapes, size: int):
+def extract_patches_batch(stack, xy_l, shapes, size: int,
+                          mode: str = "rowfirst"):
     """Patch extraction for ALL levels' keypoints in one batched pass.
 
     stack: [L, H, W]; xy_l: [L, Q, 2] level-local integer coords.
-    Returns [L, Q, size, size] f32.
+    Returns [L, Q, size, size] bf16.
 
-    Gather-as-matmul over the level axis: one-hot row selectors against the
-    level canvas (einsum 'lqrh,lhw->lqrw'), then one-hot column selection —
-    ~8 large MXU ops for the whole pyramid instead of ~130 per-level ops.
-    Exact for integer-valued canvases (bf16 holds ints <= 256; f32 accum).
-    Border indices clamp within each level's true region."""
+    Gather-as-matmul over the level axis: one-hot selectors against the
+    level canvas — ~8 large MXU ops for the whole pyramid instead of ~130
+    per-level ops. Border indices clamp within each level's true region.
+
+    mode selects the measured formulation (scripts/bench_extract_variants):
+      rowfirst — row one-hot first ('lqrh,lhw->lqrw'), bf16 end to end:
+        every output element is a ONE-HOT selection (no summation), so a
+        strip/patch value IS the bf16-rounded canvas value.
+      colfirst — column one-hot first ('lqcw,lhw->lqch'): H < W for
+        camera images, so the strip intermediate and the second
+        contraction are both W/H smaller (25% at 640x480).
+      colfirst-int8 — colfirst with canvas biased by -128 into int8 and
+        s8xs8->s32 selections (2x MXU rate, half the strip traffic). The
+        bias cancels exactly (+128 after the second selection); the only
+        precision change is int8's round-to-integer of the fractional
+        level>0 pyramid values (<=0.5 intensity) vs bf16's <=0.25 at
+        bright pixels."""
     Lv, H, W = stack.shape
     Q = xy_l.shape[1]
     half = size // 2
@@ -88,14 +101,32 @@ def extract_patches_batch(stack, xy_l, shapes, size: int):
     ws = jnp.asarray([w for h, w in shapes], jnp.int32)[:, None, None]
     rows = jnp.clip(xy_l[:, :, 1:2] + offs[None, None, :], 0, hs - 1)
     cols = jnp.clip(xy_l[:, :, 0:1] + offs[None, None, :], 0, ws - 1)
+    if mode == "colfirst-int8":
+        row_oh = jax.nn.one_hot(rows, H, dtype=jnp.int8)
+        col_oh = jax.nn.one_hot(cols, W, dtype=jnp.int8)
+        s8 = jnp.round(stack - 128.0).astype(jnp.int8)
+        strips = jnp.einsum(
+            "lqcw,lhw->lqch", col_oh, s8,
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.int8)                       # one-hot: values in s8 range
+        patches = jnp.einsum(
+            "lqrh,lqch->lqrc", row_oh, strips,
+            preferred_element_type=jnp.int32,
+        )
+        return (patches + 128).astype(jnp.bfloat16)
+    if mode == "colfirst":
+        col_oh = jax.nn.one_hot(cols, W, dtype=jnp.bfloat16)
+        row_oh = jax.nn.one_hot(rows, H, dtype=jnp.bfloat16)
+        strips = jnp.einsum(
+            "lqcw,lhw->lqch", col_oh, stack.astype(jnp.bfloat16),
+            preferred_element_type=jnp.bfloat16,
+        )
+        return jnp.einsum(
+            "lqrh,lqch->lqrc", row_oh, strips,
+            preferred_element_type=jnp.bfloat16,
+        )
     row_oh = jax.nn.one_hot(rows, H, dtype=jnp.bfloat16)   # [L,Q,size,H]
     col_oh = jax.nn.one_hot(cols, W, dtype=jnp.bfloat16)   # [L,Q,size,W]
-    # bf16 END TO END, exactly: every output element is a ONE-HOT selection
-    # (no summation), so a strip/patch value IS the bf16-rounded canvas
-    # value — identical to what the old f32-accumulating form produced
-    # (1.0 x bf16(v) accumulated once = bf16(v)), at half the HBM traffic
-    # for the [L,Q,size,W] strips (the dominant intermediate, ~170 MB/frame
-    # in f32 at 1000 features).
     strips = jnp.einsum(
         "lqrh,lhw->lqrw", row_oh, stack.astype(jnp.bfloat16),
         preferred_element_type=jnp.bfloat16,
@@ -336,7 +367,7 @@ def rbrief_batch_lut(blurred_stack, xy_l, angles_l, shapes, table,
 
 
 def angles_desc_fused(raw_stack, xy_l, shapes, table, n_bins: int = 30,
-                      quotas=None):
+                      quotas=None, patch_mode: str = "rowfirst"):
     """(angles [L, Q], desc [L, Q, 32]) from ONE 45x45 patch extraction.
 
     quotas: optional static per-level feature quotas. When given, levels
@@ -378,14 +409,16 @@ def angles_desc_fused(raw_stack, xy_l, shapes, table, n_bins: int = 30,
                 hg, wg = shapes[a]
                 ag, dg = angles_desc_fused(
                     raw_stack[a:b, :hg, :wg], xy_l[a:b, :qg],
-                    tuple(shapes[a:b]), table, n_bins, quotas=None)
+                    tuple(shapes[a:b]), table, n_bins, quotas=None,
+                    patch_mode=patch_mode)
                 pad = Q - qg
                 angs.append(jnp.pad(ag, ((0, 0), (0, pad))))
                 descs.append(jnp.pad(dg, ((0, 0), (0, pad), (0, 0))))
             return (jnp.concatenate(angs, 0), jnp.concatenate(descs, 0))
 
     S = _RB_SIZE + 6                                    # 45
-    p45 = extract_patches_batch(raw_stack, xy_l, shapes, S)  # bf16
+    p45 = extract_patches_batch(raw_stack, xy_l, shapes, S,
+                                mode=patch_mode)        # bf16
     m = (S - PATCH) // 2
     center = p45[:, :, m:m + PATCH, m:m + PATCH]
     wx = jnp.asarray(_WX, jnp.bfloat16)
