@@ -97,6 +97,15 @@ def main():
         secs = np.array([s for _, s in mapper_times])
         # drop compile-dominated warmup: first 10 integrations
         sec_c = secs[10:]
+        # wall-clock samples on a shared 1-core host can absorb external
+        # scheduler stalls (observed: a SIGSTOP'd probe inflated one
+        # sample 60x); drop >20x-median outliers and RECORD the count —
+        # the flatness claim is about mapper work, not host suspensions
+        n_outliers = 0
+        if len(sec_c) >= 8:
+            med = float(np.median(sec_c))
+            n_outliers = int((sec_c > 20 * med).sum())
+            sec_c = sec_c[sec_c <= 20 * med]
         if len(sec_c) >= 8:
             qs = np.array_split(np.arange(len(sec_c)), 4)
             quartiles = [round(float(sec_c[q].mean()), 3) for q in qs]
@@ -125,6 +134,7 @@ def main():
             "cg_regime": bool(system.n_keyframes > 384),
             "mapper_s_per_kf_quartiles": quartiles,
             "flat_scaling": bool(flat),
+            "host_stall_outliers_dropped": n_outliers,
             "ate_rmse": round(float(rmse), 3),
             "trajectory_length": round(traj_len, 2),
             "ate_over_length_pct": round(100.0 * rmse / traj_len, 2),
