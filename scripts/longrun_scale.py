@@ -39,6 +39,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="LONGRUN_r03.json")
     ap.add_argument("--frames", type=int, default=1600)
+    # Compressed-schedule knobs (same per-keyframe angular spacing as the
+    # stock 1600-frame schedule, fewer tracking frames between keyframes):
+    # crossing >384 LIVE keyframes before the 360-deg wrap is what puts the
+    # wrap's loop closure in the CG essential-graph regime.
+    ap.add_argument("--kf-every", type=int, default=0,
+                    help="force a keyframe every N frames (0 = stock 2..4)")
+    ap.add_argument("--total-angle", type=float, default=0.0,
+                    help="total ring angle in deg (0 = stock 385*n/1600)")
+    ap.add_argument("--max-keyframes", type=int, default=1024)
+    ap.add_argument("--max-points", type=int, default=32768)
     args = ap.parse_args()
 
     from orb_slam_tpu.io.synthetic import SyntheticScene, ring_trajectory
@@ -65,17 +75,22 @@ def main():
                            width=640, height=480)
     # constant 0.24 deg/frame regardless of --frames (short probe runs
     # keep the production angular rate and KF density)
+    total_angle = args.total_angle if args.total_angle > 0 \
+        else 385.0 * n / 1600.0
     poses = ring_trajectory(n, orbit_radius=95.4,
-                            total_angle=np.deg2rad(385.0 * n / 1600.0))
+                            total_angle=np.deg2rad(total_angle))
 
+    kf_min = args.kf_every if args.kf_every > 0 else 2
+    kf_max = args.kf_every if args.kf_every > 0 else 4
     cfg = SlamConfig(
         camera=CameraModel.create(scene.fx, scene.fy, scene.cx, scene.cy,
                                   width=scene.width, height=scene.height),
         orb=None,  # oracle features
-        map=MapConfig(max_keyframes=1024, max_points=32768, n_features=320),
+        map=MapConfig(max_keyframes=args.max_keyframes,
+                      max_points=args.max_points, n_features=320),
         p_local=4096, n_triangulation_neighbors=6, n_fuse_neighbors=6,
         n_fuse_second_neighbors=2, local_ba_window=8,
-        min_frames_between_kf=2, max_frames_between_kf=4,
+        min_frames_between_kf=kf_min, max_frames_between_kf=kf_max,
         kf_tracked_ratio=1.5,  # force regular keyframes (dwell regime)
         enable_loop_closing=True, enable_relocalisation=False,
         min_init_matches=60,
@@ -139,8 +154,11 @@ def main():
             "trajectory_length": round(traj_len, 2),
             "ate_over_length_pct": round(100.0 * rmse / traj_len, 2),
             "wall_s": round(time.time() - t_start, 1),
-            "config": {"max_keyframes": 1024, "max_points": 32768,
+            "config": {"max_keyframes": args.max_keyframes,
+                       "max_points": args.max_points,
                        "max_ba_cams": cfg.max_ba_cams,
+                       "kf_every": args.kf_every or "2..4",
+                       "total_angle_deg": round(total_angle, 1),
                        "oracle_features": True},
         }
         tmp_path = args.out + ".tmp"
