@@ -49,6 +49,16 @@ def main():
                     help="total ring angle in deg (0 = stock 385*n/1600)")
     ap.add_argument("--max-keyframes", type=int, default=1024)
     ap.add_argument("--max-points", type=int, default=32768)
+    # Per-frame cost knobs for bounded-wall-time sessions (1-CPU host):
+    # these bound LOCAL work only (tracking pool / BA window / neighbor
+    # fan-out) — exactly the quantities the reference also bounds
+    # (Tracking.cc:814-816 local map, Optimizer.cc:287-338 local BA) —
+    # so shrinking them does not weaken the flat-vs-map-size claim.
+    ap.add_argument("--p-local", type=int, default=4096)
+    ap.add_argument("--ba-window", type=int, default=8)
+    ap.add_argument("--tri-neighbors", type=int, default=6)
+    ap.add_argument("--fuse-neighbors", type=int, default=6)
+    ap.add_argument("--n-features", type=int, default=320)
     args = ap.parse_args()
 
     from orb_slam_tpu.io.synthetic import SyntheticScene, ring_trajectory
@@ -87,9 +97,12 @@ def main():
                                   width=scene.width, height=scene.height),
         orb=None,  # oracle features
         map=MapConfig(max_keyframes=args.max_keyframes,
-                      max_points=args.max_points, n_features=320),
-        p_local=4096, n_triangulation_neighbors=6, n_fuse_neighbors=6,
-        n_fuse_second_neighbors=2, local_ba_window=8,
+                      max_points=args.max_points,
+                      n_features=args.n_features),
+        p_local=args.p_local,
+        n_triangulation_neighbors=args.tri_neighbors,
+        n_fuse_neighbors=args.fuse_neighbors,
+        n_fuse_second_neighbors=2, local_ba_window=args.ba_window,
         min_frames_between_kf=kf_min, max_frames_between_kf=kf_max,
         kf_tracked_ratio=1.5,  # force regular keyframes (dwell regime)
         enable_loop_closing=True, enable_relocalisation=False,
@@ -159,6 +172,11 @@ def main():
                        "max_ba_cams": cfg.max_ba_cams,
                        "kf_every": args.kf_every or "2..4",
                        "total_angle_deg": round(total_angle, 1),
+                       "p_local": args.p_local,
+                       "local_ba_window": args.ba_window,
+                       "tri_neighbors": args.tri_neighbors,
+                       "fuse_neighbors": args.fuse_neighbors,
+                       "n_features": args.n_features,
                        "oracle_features": True},
         }
         tmp_path = args.out + ".tmp"
